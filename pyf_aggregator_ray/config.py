@@ -1,0 +1,65 @@
+"""Engine configuration.
+
+The reference exposes its throughput surface as env-tunable knobs
+(``/root/reference/src/pyf/aggregator/fetcher.py:47-60``,
+``npm_fetcher.py:42-52``); we centralize the analogous knobs in one
+dataclass so pipelines, tests and the bench harness share defaults.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # ---- BM25 scoring (north_star: k1=1.2, b=0.75) ----
+    k1: float = 1.2
+    b: float = 0.75
+
+    # ---- tokenizer ----
+    # Reference tokenization separators (db.py:241): [".", "-", "_", "@", "/"]
+    # plus whitespace/punctuation. We normalize to: lowercase, token = run of
+    # [a-z0-9]. MUST stay in sync with the DuckDB oracle regex in
+    # pipelines/query.py (TOKEN_RE_SQL).
+    token_pattern: str = "[a-z0-9]+"
+
+    # ---- index build ----
+    # Terms with global df above this are "hot" and get salted by doc-id
+    # range before the groupby(term) shuffle (north_rule skew handling).
+    hot_df_threshold: int = 2_000
+    # Width of one doc-id range shard for salting hot terms / resumable
+    # partition builds. Group size is bounded by this many docs.
+    salt_range_docs: int = 2_000
+    # Tokenize stage actor pool.
+    tokenize_batch_size: int = 512
+    tokenize_concurrency: int | tuple[int, int] = (2, 8)
+    # Target rows per output parquet file for postings segments.
+    postings_rows_per_file: int = 200_000
+
+    # ---- query engine ----
+    default_k: int = 10
+    score_round_decimals: int = 6  # rounding applied to *reported* scores only
+
+    # ---- enrichment / field weights ----
+    # Fold repo size into a document weight multiplier (reference analog of
+    # field weights 10,10,5,3,1 — AGENTS.md:16-19). weight = 1 + scale*ln(files).
+    repo_weight_scale: float = 0.1
+
+    # ---- paths ----
+    index_root: str = field(
+        default_factory=lambda: os.environ.get("PYFA_INDEX_ROOT", "/tmp/pyfa_index")
+    )
+
+    # ---- dedup ----
+    minhash_num_perm: int = 64
+    minhash_bands: int = 16  # rows per band = num_perm // bands
+    shingle_k: int = 3  # word shingles
+    jaccard_threshold: float = 0.5
+
+    # ---- ANN ----
+    ann_default_k: int = 5
+
+
+DEFAULT = EngineConfig()

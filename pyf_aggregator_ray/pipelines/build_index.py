@@ -1,0 +1,311 @@
+"""Full index build: corpus -> tokenize -> salted groupby(term) -> segments.
+
+Lifecycle mirror of the reference flagship ``pyfa pypi -f``
+(``/root/reference/src/pyf/aggregator/main.py:309-405``):
+
+  reference                                  this engine
+  ------------------------------------       ----------------------------------
+  discovery + per-package fetch (S1/S2)      ray.data.read_parquet (pruned)
+  plugin transform chain (ST1)               TokenizeStage actor pool
+  clean_data + batched upsert (M2/K1)        encode/merge stages + write_parquet
+  versioned collection + alias (K6)          v{N} dir + atomic ALIAS swap
+  run statistics (A4)                        per-stage metrics in manifest.json
+
+Two executions per build:
+  1. doc-meta pass: corpus -> (doc_id, repo, path, commit, lang, dl, sha256)
+     -> docs/ parquet; N + avgdl aggregated from the written artifact.
+  2. index pass: corpus -> tokens -> salt -> encode partitions (the big
+     shuffle) -> merge shards (small shuffle of compressed rows) ->
+     sort(term) -> postings/ parquet.
+
+Resumable mode (``resumable=True``) splits the corpus into doc-id-range
+partitions, builds per-partition partial postings under ``partials/``
+(skipping partitions already marked done — the per-partition checkpoint
+with lineage required by the north rule), then merges all partials with
+the same merge stage. Partial shards use globally-defined doc-id range
+salts, so shards from different partitions are disjoint and the ordered
+concat merge stays correct.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from ..config import DEFAULT, EngineConfig
+from ..sources.corpus import read_corpus
+from ..stages.postings import (
+    add_salt_and_part,
+    encode_partition,
+    merge_partition,
+)
+from ..stages.tokenize import TokenizeStage, doc_meta_batch
+from ..state import manifest as mf
+
+
+def _tokens_ds(corpus: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    return corpus.map_batches(
+        TokenizeStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        concurrency=cfg.tokenize_concurrency,
+    )
+
+
+def estimate_hot_terms(
+    corpus: ray.data.Dataset,
+    cfg: EngineConfig,
+    total_docs: int,
+    sample_docs: int = 20_000,
+) -> frozenset[str]:
+    """Estimate globally-hot terms (df > hot_df_threshold) from a bounded
+    sample. Used only for salting decisions — a miss costs skew, never
+    correctness. Hot terms ('import', 'def', 'self') appear in nearly
+    every code file, so a 20k-doc sample finds them w.h.p."""
+    n = min(total_docs, sample_docs)
+    if n == 0:
+        return frozenset()
+    toks = _tokens_ds(corpus.limit(n), cfg)
+    # partial df per batch, then one tiny groupby — partial+final pattern
+    partial = toks.map_batches(
+        lambda t: t.group_by("term")
+        .aggregate([("doc_id", "count")])
+        .rename_columns(["term", "df_part"]),
+        batch_format="pyarrow",
+    )
+    stats = partial.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    scaled_threshold = max(2, int(cfg.hot_df_threshold * (n / max(1, total_docs))))
+    tbl = stats.to_pandas()  # sample vocabulary — small
+    return frozenset(tbl.loc[tbl["df"] > scaled_threshold, "term"].tolist())
+
+
+def _merge_stage(
+    shards: ray.data.Dataset, merge_parts: int
+) -> ray.data.Dataset:
+    """Group shard rows by term-hash bucket and merge each bucket — the
+    'streaming aggregate' over compressed shard rows."""
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["term"].to_numpy(zero_copy_only=False).astype(object)
+        )
+        return t.append_column(
+            "merge_part", pa.array((h % np.uint64(merge_parts)).astype(np.int64))
+        )
+
+    keyed = shards.map_batches(key_batch, batch_format="pyarrow")
+    return keyed.groupby("merge_part").map_groups(
+        lambda g: merge_partition(g.drop_columns(["merge_part"])),
+        batch_format="pyarrow",
+    )
+
+
+def build_index(
+    sf_dir: str,
+    index_root: str,
+    cfg: EngineConfig | None = None,
+    *,
+    corpus: ray.data.Dataset | None = None,
+    num_parts: int | None = None,
+    resumable: bool = False,
+    num_partitions: int = 8,
+    switch: bool = True,
+) -> dict:
+    """Build a new index version from ``{sf_dir}/documents.parquet`` (or an
+    explicit corpus Dataset). Returns the manifest dict (incl. metrics)."""
+    cfg = cfg or DEFAULT
+    t0 = time.perf_counter()
+    version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    os.makedirs(vdir, exist_ok=True)
+    metrics: dict = {}
+
+    def corpus_ds() -> ray.data.Dataset:
+        return corpus if corpus is not None else read_corpus(sf_dir)
+
+    # ---- pass 1: doc metadata (incl. per-row sha256 invariant) ----
+    t = time.perf_counter()
+    corpus_ds().map_batches(doc_meta_batch, batch_format="pyarrow").write_parquet(
+        os.path.join(vdir, "docs")
+    )
+    metrics["docs_pass_sec"] = time.perf_counter() - t
+
+    docs_meta = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"])
+    agg = docs_meta.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sum_dl"))
+    n_docs = int(agg["n"])
+    sum_dl = int(agg["sum_dl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    # ---- hot-term estimation (skew control for the term shuffle) ----
+    t = time.perf_counter()
+    hot = estimate_hot_terms(corpus_ds(), cfg, n_docs)
+    metrics["hot_estimate_sec"] = time.perf_counter() - t
+    metrics["num_hot_terms"] = len(hot)
+    metrics["hot_terms_sample"] = sorted(hot)[:50]
+
+    # ---- pass 2: tokens -> salted encode -> merge -> postings ----
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    t = time.perf_counter()
+
+    if resumable:
+        _build_partials(sf_dir, vdir, cfg, corpus, num_partitions)
+        shards = ray.data.read_parquet(os.path.join(vdir, "partials"))
+    else:
+        tokens = _tokens_ds(corpus_ds(), cfg)
+        # broadcast the hot set once (ray.put), read per worker — the
+        # broadcast-small-side pattern, not re-shipped per batch
+        hot_ref = ray.put(hot)
+
+        def salt_batch(t_: pa.Table) -> pa.Table:
+            return add_salt_and_part(
+                t_, ray.get(hot_ref), cfg.salt_range_docs, num_parts
+            )
+
+        salted = tokens.map_batches(salt_batch, batch_format="pyarrow")
+        shards = salted.groupby("part").map_groups(
+            lambda g: encode_partition(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+
+    postings = _merge_stage(shards, merge_parts=max(4, num_parts // 4))
+    try:
+        postings.sort("term").write_parquet(
+            os.path.join(vdir, "postings"),
+            min_rows_per_file=cfg.postings_rows_per_file,
+        )
+    except TypeError:  # older Ray: num_rows_per_file
+        postings.sort("term").write_parquet(
+            os.path.join(vdir, "postings"),
+            num_rows_per_file=cfg.postings_rows_per_file,
+        )
+    metrics["index_pass_sec"] = time.perf_counter() - t
+
+    # ---- stats + verification + manifest + atomic alias cutover ----
+    pread = ray.data.read_parquet(
+        os.path.join(vdir, "postings"), columns=["term", "df", "cf"]
+    )
+    pagg = pread.aggregate(
+        Count(alias_name="vocab"),
+        Sum("df", alias_name="total_postings"),
+        Sum("cf", alias_name="total_tokens"),
+    )
+    stats = {
+        "num_docs": n_docs,
+        "avgdl": avgdl,
+        "vocab_size": int(pagg["vocab"] or 0),
+        "total_postings": int(pagg["total_postings"] or 0),
+        "total_tokens": int(pagg["total_tokens"] or 0),
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    mf.write_stats(vdir, stats)
+
+    elapsed = time.perf_counter() - t0
+    metrics["total_sec"] = elapsed
+    metrics["docs_per_sec"] = n_docs / elapsed if elapsed else 0.0
+    metrics["postings_per_sec"] = (
+        stats["total_postings"] / metrics["index_pass_sec"]
+        if metrics["index_pass_sec"]
+        else 0.0
+    )
+    metrics["index_bytes"] = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(vdir)
+        for f in fs
+    )
+    # the term shuffle moves every token row (term + 3 int64s + salt/part);
+    # exact per-operator byte counts are in ds.stats(), surfaced by bench.py
+    metrics["approx_shuffled_bytes"] = int(stats["total_postings"] * 40)
+
+    manifest = {
+        "version": version,
+        "sf_dir": sf_dir,
+        "input_files": (
+            [os.path.join(sf_dir, "documents.parquet")] if sf_dir else []
+        ),
+        "config": {
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "hot_df_threshold": cfg.hot_df_threshold,
+            "salt_range_docs": cfg.salt_range_docs,
+            "num_parts": num_parts,
+            "resumable": resumable,
+        },
+        "stats": stats,
+        "metrics": metrics,
+    }
+    mf.write_manifest(vdir, manifest)
+
+    # count verification before cutover (reference typesense_util.py:219-238)
+    docs_count = ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id"]
+    ).count()
+    if docs_count != n_docs:
+        raise RuntimeError(
+            f"verification failed: docs parquet has {docs_count} rows, expected {n_docs}"
+        )
+    if switch:
+        mf.switch_alias(index_root, version)
+    return manifest
+
+
+def _build_partials(
+    sf_dir: str,
+    vdir: str,
+    cfg: EngineConfig,
+    corpus: ray.data.Dataset | None,
+    num_partitions: int,
+) -> None:
+    """Per-doc-partition partial postings with checkpoint markers.
+
+    Partition p owns doc ids in [p*W, (p+1)*W); its partial postings are a
+    self-contained parquet dir. A rerun skips partitions whose _SUCCESS
+    marker exists — the resume path. Shard salts are globally-defined
+    doc-id ranges (doc_id // salt_range_docs), so shards from different
+    partitions never overlap and the final ordered-concat merge is exact.
+    """
+
+    def corpus_ds() -> ray.data.Dataset:
+        return corpus if corpus is not None else read_corpus(sf_dir)
+
+    max_id = int(corpus_ds().aggregate(Max("doc_id"))["max(doc_id)"])
+    width = max_id // num_partitions + 1
+
+    def salt_partial(t: pa.Table) -> pa.Table:
+        salt = (
+            t["doc_id"].to_numpy(zero_copy_only=False) // cfg.salt_range_docs
+        ).astype(np.int64)
+        return t.append_column("salt", pa.array(salt))
+
+    for pid in range(num_partitions):
+        if mf.partition_done(vdir, pid):
+            continue
+        lo, hi = pid * width, (pid + 1) * width
+        part_corpus = corpus_ds().map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(
+                pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi))
+            ),
+            batch_format="pyarrow",
+        )
+        encoded = (
+            _tokens_ds(part_corpus, cfg)
+            .map_batches(salt_partial, batch_format="pyarrow")
+            .groupby("salt")
+            .map_groups(encode_partition, batch_format="pyarrow")
+        )
+        out_dir = os.path.join(vdir, "partials", f"part_{pid:05d}")
+        encoded.write_parquet(out_dir)
+        mf.mark_partition_done(
+            vdir, pid, {"pid": pid, "doc_range": [lo, hi], "built_at": time.time()}
+        )

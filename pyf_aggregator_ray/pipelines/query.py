@@ -1,0 +1,322 @@
+"""BM25 top-k query engine over the from-scratch inverted index.
+
+The reference's query surface is Typesense weighted multi-field search
+with ``query_by name,title,first_chapter,main_content,changelog`` and
+weights ``10,10,5,3,1`` (``/root/reference/AGENTS.md:16-19``); its ranked
+retrieval + sorted pagination (``db.py:377-426``) is what this module
+reproduces with BM25 (k1=1.2, b=0.75) and a deterministic tiebreak
+(score desc, doc_id asc).
+
+Scoring definition (identical, by construction, in all three places —
+this engine, the pytest naive oracle, and the DuckDB SQL oracle):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t, d)   = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(q, d) = sum over DISTINCT query terms of idf * tfn [* weight(d)]
+
+``avgdl`` = sum(dl) / N over ALL docs (zero-token docs included).
+Query terms are tokenized with the same analyzer as documents and scored
+once each (query tf ignored).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray.data
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.tokenizer import tokenize_query
+from ..sources.corpus import CORPUS_SQL
+from ..state import manifest as mf
+
+# ---------------------------------------------------------------------------
+# Reference query set (FIXTURES.md §2): rare / hot / multi-term / separator
+# semantics / absent terms / k edge cases. Deterministic, stored in-repo.
+# ---------------------------------------------------------------------------
+QUERY_SET: list[tuple[int, str, int]] = [
+    (0, "merge sort", 10),
+    (1, "spark", 10),
+    (2, "the", 10),  # hot term
+    (3, "data-stream/batch", 5),  # separator semantics: -> data stream batch
+    (4, "plone.api", 10),  # dotted name -> plone api (absent -> empty)
+    (5, "vector window agg", 100),  # k larger than many match counts
+    (6, "query", 1),  # k = 1
+    (7, "nonexistentterm42", 10),  # empty result
+    (8, "customer value", 10),
+    (9, "Scan.Filter_JOIN", 10),  # mixed case + separators
+]
+
+
+class IndexReader:
+    """Loads one index version; decodes posting lists on demand (cached).
+
+    The term dictionary stays on disk (parquet, term-sorted row groups);
+    lookups use predicate pushdown so a query reads only the row groups
+    containing its terms — the scale path for a 10^12-file dictionary.
+    """
+
+    def __init__(self, index_path: str, cfg: EngineConfig | None = None):
+        # accept either a version dir or an index root with an ALIAS
+        live = mf.read_alias(index_path)
+        self.vdir = live if live else index_path
+        self.cfg = cfg or DEFAULT
+        self.stats = mf.read_stats(self.vdir)
+        self._postings = pads.dataset(os.path.join(self.vdir, "postings"))
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+
+    def lookup(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+        """term -> (doc_ids, tfs, dls, df) for terms present in the index."""
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            tbl = self._postings.to_table(
+                columns=["term", "df", "gaps", "tfs", "dls"],
+                filter=pads.field("term").isin(missing),
+            )
+            from ..stages.postings import decode_posting_row
+
+            for i in range(tbl.num_rows):
+                row = {c: tbl[c][i].as_py() for c in ("gaps", "tfs", "dls")}
+                ids, tfs, dls = decode_posting_row(row)
+                self._cache[tbl["term"][i].as_py()] = (
+                    ids,
+                    tfs,
+                    dls,
+                    int(tbl["df"][i].as_py()),
+                )
+            for t in missing:
+                self._cache.setdefault(t, (np.empty(0, np.int64),) * 3 + (0,))
+        return {t: self._cache[t] for t in terms if self._cache[t][3] > 0}
+
+    def score(
+        self,
+        query: str,
+        k: int | None = None,
+        doc_weights: dict[int, float] | None = None,
+    ) -> list[tuple[int, int, float]]:
+        """Exhaustive vectorized BM25 -> [(rank, doc_id, score)].
+
+        Term-at-a-time accumulation in sorted-term order (deterministic
+        float summation). Tiebreak: score desc, doc_id asc.
+        """
+        cfg = self.cfg
+        n = self.stats["num_docs"]
+        avgdl = self.stats["avgdl"]
+        k = k if k is not None else cfg.default_k
+        terms = tokenize_query(query)
+        found = self.lookup(terms)
+        if not found or n == 0:
+            return []
+        all_ids, all_contrib = [], []
+        for t in sorted(found):
+            ids, tfs, dls, df = found[t]
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tfn = (
+                tfs * (cfg.k1 + 1.0)
+                / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / avgdl))
+            )
+            all_ids.append(ids)
+            all_contrib.append(idf * tfn)
+        ids_cat = np.concatenate(all_ids)
+        contrib_cat = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids_cat, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib_cat)
+        if doc_weights:
+            w = np.array([doc_weights.get(int(d), 1.0) for d in uniq])
+            scores *= w
+        order = np.lexsort((uniq, -scores))[:k]
+        return [
+            (rank + 1, int(uniq[i]), float(scores[i]))
+            for rank, i in enumerate(order)
+        ]
+
+
+class ScorerStage:
+    """Actor-pool stage: batches of (query_id, query, k) -> top-k rows.
+
+    Index + stats load once per actor in ``__init__`` (reference pattern:
+    memoized per-process caches, ``enrichers/github.py:126-137``);
+    per-term postings cache is shared across queries hitting the actor.
+    """
+
+    def __init__(self, index_path: str, cfg: EngineConfig | None = None,
+                 doc_weights: dict[int, float] | None = None):
+        self.reader = IndexReader(index_path, cfg)
+        self.doc_weights = doc_weights
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, query, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            for rank, doc_id, score in self.reader.score(query, k, self.doc_weights):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(
+                    np.round(np.array(scores, dtype=np.float64), DEFAULT.score_round_decimals)
+                ),
+            }
+        )
+
+
+def run_query_set(
+    index_path: str,
+    queries: list[tuple[int, str, int]] | None = None,
+    cfg: EngineConfig | None = None,
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    """Score a query set as a Ray pipeline (queries ds -> scorer actors)."""
+    queries = queries or QUERY_SET
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q[0] for q in queries], type=pa.int64()),
+                "query": pa.array([q[1] for q in queries], type=pa.string()),
+                "k": pa.array([q[2] for q in queries], type=pa.int64()),
+            }
+        )
+    )
+    return qds.map_batches(
+        ScorerStage,
+        fn_constructor_args=(index_path, cfg),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+
+def naive_bm25(
+    corpus: pa.Table,
+    query: str,
+    k: int,
+    cfg: EngineConfig | None = None,
+    doc_weights: dict[int, float] | None = None,
+) -> list[tuple[int, int, float]]:
+    """Exhaustive pure-Python/numpy BM25 over a raw corpus table — the
+    pytest rank-identity oracle (independent of the index artifacts)."""
+    from collections import Counter
+    import re
+
+    cfg = cfg or DEFAULT
+    token_re = re.compile("[a-z0-9]+")
+    docs = corpus["content"].to_pylist()
+    ids = corpus["doc_id"].to_pylist()
+    toks = [token_re.findall((d or "").lower()) for d in docs]
+    n = len(docs)
+    dls = [len(t) for t in toks]
+    avgdl = sum(dls) / n if n else 0.0
+    counters = [Counter(t) for t in toks]
+    terms = tokenize_query(query)
+    scores: dict[int, float] = {}
+    for t in terms:
+        df = sum(1 for c in counters if t in c)
+        if df == 0:
+            continue
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for doc_id, c, dl in zip(ids, counters, dls):
+            tf = c.get(t)
+            if not tf:
+                continue
+            tfn = tf * (cfg.k1 + 1.0) / (
+                tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / avgdl)
+            )
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+    if doc_weights:
+        scores = {d: s * doc_weights.get(d, 1.0) for d, s in scores.items()}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bm25_oracle_sql(
+    queries: list[tuple[int, str, int]] | None = None,
+    cfg: EngineConfig | None = None,
+    weighted: bool = False,
+) -> str:
+    """DuckDB SQL computing the identical BM25 top-k over the identical
+    derived corpus — the driver-side correctness oracle. Column names match
+    the engine output exactly: (query_id, rank, doc_id, score)."""
+    queries = queries or QUERY_SET
+    cfg = cfg or DEFAULT
+    values = ",\n    ".join(
+        f"({qid}, {_sql_quote(q)}, {k})" for qid, q, k in queries
+    )
+    weight_expr = (
+        "* (1.0 + {scale} * ln(rs.file_count))".format(scale=cfg.repo_weight_scale)
+        if weighted
+        else ""
+    )
+    weight_join = (
+        """
+  JOIN (SELECT repo, count(*)::BIGINT AS file_count
+        FROM corpus GROUP BY repo) rs
+    ON rs.repo = (SELECT c2.repo FROM corpus c2 WHERE c2.doc_id = tf.doc_id)"""
+        if weighted
+        else ""
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT query_id, k,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS term
+  FROM queries
+),
+scored AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) {weight_expr} AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id{weight_join}
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(score, {cfg.score_round_decimals}) AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,149 @@
+"""Driver-contract registry: named queries + matching DuckDB oracle SQL.
+
+Every implemented operator/pipeline from SURVEY.md §2 registers here as
+  name -> (callable(sf_dir) -> Dataset | DataFrame | Table,  oracle_sql | None)
+Column names in each Ray result match the oracle SQL exactly (the driver
+hashes values after sorting columns by name).
+
+Index artifacts for a given sf_dir are built once per process and cached
+under /tmp (testdata is immutable), so multiple query entries share one
+build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import DEFAULT, EngineConfig
+from ..state import manifest as mf
+from . import query as q
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_index(sf_dir: str, cfg: EngineConfig | None = None) -> str:
+    """Build (or reuse) the index for sf_dir; returns the index root."""
+    cfg = cfg or DEFAULT
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", "pyfa_index_cache", key)
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    live = mf.read_alias(root)
+    if live and mf.read_manifest(live) and mf.read_manifest(live).get("sf_dir") == sf_dir:
+        _INDEX_CACHE[sf_dir] = root
+        return root
+    from .build_index import build_index
+
+    build_index(sf_dir, root, cfg)
+    _INDEX_CACHE[sf_dir] = root
+    return root
+
+
+# ---------------------------------------------------------------------------
+# flagship: BM25 top-k over the derived code corpus
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    root = ensure_index(sf_dir)
+    ds = q.run_query_set(root)
+    out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def index_term_stats(sf_dir: str) -> pa.Table:
+    """Term dictionary head: top-100 terms by df desc, term asc — checks
+    the postings aggregation (SURVEY A6) end-to-end."""
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    ds = ray.data.read_parquet(
+        os.path.join(vdir, "postings"), columns=["term", "df", "cf"]
+    )
+    out = (
+        ds.to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TERM_STATS_SQL = f"""
+WITH corpus AS ({q.CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM toks GROUP BY term
+)
+SELECT term, df, cf FROM stats
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+
+
+def corpus_derivation(sf_dir: str) -> ray.data.Dataset:
+    """The corpus source itself (doc_id, repo, path, commit, lang) — checks
+    the deterministic derivation + commit hashing against SQL."""
+    from ..sources.corpus import read_corpus
+
+    return read_corpus(sf_dir).drop_columns(["content"])
+
+
+CORPUS_DERIVATION_SQL = f"""
+SELECT doc_id, repo, path, commit, lang
+FROM ({q.CORPUS_SQL})
+"""
+
+
+def doc_sha256(sf_dir: str) -> ray.data.Dataset:
+    """Per-row sha256(content) straight from the built index's doc table —
+    the north-rule invariant, checked against DuckDB's sha256."""
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    return ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id", "sha256", "dl"]
+    )
+
+
+DOC_SHA256_SQL = f"""
+WITH corpus AS ({q.CORPUS_SQL})
+SELECT doc_id, sha256(content) AS sha256,
+       len(regexp_extract_all(lower(content), '[a-z0-9]+'))::BIGINT AS dl
+FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (callable, oracle_sql or None)
+_REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "bm25_topk": (bm25_topk, q.bm25_oracle_sql()),
+    "index_term_stats": (index_term_stats, TERM_STATS_SQL),
+    "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
+    "doc_sha256": (doc_sha256, DOC_SHA256_SQL),
+}
+
+
+def register(name: str, fn: Callable[[str], Any], sql: str | None) -> None:
+    _REGISTRY[name] = (fn, sql)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

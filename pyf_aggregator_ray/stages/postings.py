@@ -1,0 +1,259 @@
+"""Posting-list construction: the groupby(term) shuffle, skew-aware.
+
+The reference delegates inverted-index construction to Typesense's batch
+import (``/root/reference/src/pyf/aggregator/indexer.py:39-63``); per the
+north rule we build it from scratch as Ray Data stages:
+
+  tokens (term, doc_id, tf, dl)
+    -> salt: hot terms (Zipf head: 'import', 'def', ...) are split by
+       doc-id RANGE so no group exceeds ``salt_range_docs`` postings;
+       range salting (not hash salting) keeps every shard doc-id-sorted
+       and disjoint, so the final merge is ordered concatenation — no
+       k-way merge needed for delta-gap correctness
+    -> partition key  part = H(term, salt) % P
+    -> groupby("part").map_groups(encode_partition)    [the big shuffle]
+         one call per partition encodes *all* its terms vectorized:
+         one sort, run-length boundaries, one varint pass per stream
+    -> groupby("merge_part").map_groups(merge_partition) [small shuffle of
+         compressed shard rows — the "streaming aggregate" merge]
+
+Output row per term: (term, df, cf, first_doc, last_doc,
+gaps/tfs/dls varint streams).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.varint import (
+    decode_varint,
+    encode_varint,
+    encode_varint_with_lengths,
+)
+
+POSTING_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int64()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("gaps", pa.large_binary()),
+        ("tfs", pa.large_binary()),
+        ("dls", pa.large_binary()),
+    ]
+)
+
+
+def stable_term_hash(terms: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of a string array (stable across processes
+    and runs — Python's builtin ``hash`` is salted per process and must not
+    be used for partitioning)."""
+    return pd.util.hash_array(np.asarray(terms, dtype=object))
+
+
+def add_salt_and_part(
+    batch: pa.Table,
+    hot_terms: frozenset[str],
+    salt_range_docs: int,
+    num_parts: int,
+) -> pa.Table:
+    """Append ``salt`` and ``part`` columns to a token batch."""
+    terms = batch["term"].to_numpy(zero_copy_only=False)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    salt = np.zeros(len(terms), dtype=np.int64)
+    if hot_terms:
+        hot_mask = np.array([t in hot_terms for t in terms], dtype=bool)
+        salt[hot_mask] = doc_ids[hot_mask] // salt_range_docs
+    h = stable_term_hash(terms)
+    part = ((h ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))) %
+            np.uint64(num_parts)).astype(np.int64)
+    return batch.append_column("salt", pa.array(salt)).append_column(
+        "part", pa.array(part)
+    )
+
+
+def _group_starts(sorted_terms: np.ndarray, sorted_salts: np.ndarray) -> np.ndarray:
+    """Boundary indices of (term, salt) runs in sorted arrays."""
+    if len(sorted_terms) == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.empty(len(sorted_terms), dtype=bool)
+    change[0] = True
+    change[1:] = (sorted_terms[1:] != sorted_terms[:-1]) | (
+        sorted_salts[1:] != sorted_salts[:-1]
+    )
+    return np.flatnonzero(change)
+
+
+def _binary_from_offsets(data: bytes, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array over ``data`` sliced at ``offsets``."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(data)],
+    )
+
+
+def encode_partition(tbl: pa.Table) -> pa.Table:
+    """Encode every (term, salt) shard in one partition, fully vectorized.
+
+    One Arrow sort + one varint pass per stream for the whole partition;
+    per-term work is numpy slicing only. This keeps per-group Python
+    overhead O(P), not O(vocabulary).
+    """
+    if tbl.num_rows == 0:
+        return POSTING_SCHEMA.empty_table()
+    tbl = tbl.sort_by(
+        [("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
+    )
+    terms = tbl["term"].to_numpy(zero_copy_only=False)
+    salts = tbl["salt"].to_numpy(zero_copy_only=False)
+    doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = tbl["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    starts = _group_starts(terms, salts)
+    ends = np.concatenate([starts[1:], [len(terms)]])
+
+    # delta-gap over the whole column, resetting at group starts to the
+    # absolute doc id (the merge stage rewrites cross-shard boundaries)
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]
+
+    gaps_buf, gaps_nb = encode_varint_with_lengths(gaps)
+    tfs_buf, tfs_nb = encode_varint_with_lengths(tfs)
+    dls_buf, dls_nb = encode_varint_with_lengths(dls)
+
+    def offsets_for(nb: np.ndarray) -> np.ndarray:
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        return np.concatenate((cum[starts], [cum[-1]]))
+
+    df = (ends - starts).astype(np.int64)
+    cf = np.add.reduceat(tfs, starts).astype(np.int64)
+    return pa.table(
+        {
+            "term": pa.array(terms[starts], type=pa.string()),
+            "salt": pa.array(salts[starts], type=pa.int64()),
+            "df": pa.array(df),
+            "cf": pa.array(cf),
+            "first_doc": pa.array(doc_ids[starts]),
+            "last_doc": pa.array(doc_ids[ends - 1]),
+            "gaps": _binary_from_offsets(gaps_buf, offsets_for(gaps_nb)),
+            "tfs": _binary_from_offsets(tfs_buf, offsets_for(tfs_nb)),
+            "dls": _binary_from_offsets(dls_buf, offsets_for(dls_nb)),
+        }
+    )
+
+
+def _varint_len_of_first(buf: memoryview) -> int:
+    i = 0
+    while buf[i] & 0x80:
+        i += 1
+    return i + 1
+
+
+def merge_partition(tbl: pa.Table) -> pa.Table:
+    """Merge shard rows into one posting row per term.
+
+    Shards of a term are disjoint doc-id ranges (range salting), so the
+    merge is ordered concatenation; only the first varint of each
+    non-initial shard (absolute doc id) is rewritten to a cross-shard
+    delta. Single-shard terms (the vast majority) pass through untouched.
+    """
+    if tbl.num_rows == 0:
+        return merged_schema().empty_table()
+    tbl = tbl.sort_by([("term", "ascending"), ("first_doc", "ascending")])
+    terms = tbl["term"].to_numpy(zero_copy_only=False)
+    starts = _group_starts(terms, np.zeros(len(terms), dtype=np.int64))
+    ends = np.concatenate([starts[1:], [len(terms)]])
+
+    multi = np.flatnonzero(ends - starts > 1)
+    df_arr = tbl["df"].to_numpy(zero_copy_only=False)
+    cf_arr = tbl["cf"].to_numpy(zero_copy_only=False)
+    first_arr = tbl["first_doc"].to_numpy(zero_copy_only=False)
+    last_arr = tbl["last_doc"].to_numpy(zero_copy_only=False)
+
+    if len(multi) == 0:
+        out = tbl.drop_columns(["salt"])
+        return out
+
+    gaps_col = tbl["gaps"]
+    tfs_col = tbl["tfs"]
+    dls_col = tbl["dls"]
+
+    o_term, o_df, o_cf, o_first, o_last = [], [], [], [], []
+    o_gaps, o_tfs, o_dls = [], [], []
+    for s, e in zip(starts, ends):
+        o_term.append(terms[s])
+        o_df.append(int(df_arr[s:e].sum()))
+        o_cf.append(int(cf_arr[s:e].sum()))
+        o_first.append(int(first_arr[s]))
+        o_last.append(int(last_arr[e - 1]))
+        if e - s == 1:
+            o_gaps.append(gaps_col[s].as_py())
+            o_tfs.append(tfs_col[s].as_py())
+            o_dls.append(dls_col[s].as_py())
+            continue
+        gaps_parts, tfs_parts, dls_parts = [], [], []
+        prev_last = None
+        for i in range(s, e):
+            g = gaps_col[i].as_py()
+            if prev_last is None:
+                gaps_parts.append(g)
+            else:
+                first_doc = int(first_arr[i])
+                if first_doc <= prev_last:
+                    raise ValueError(
+                        f"overlapping shards for term {terms[s]!r}: "
+                        f"{first_doc} <= {prev_last}"
+                    )
+                skip = _varint_len_of_first(memoryview(g))
+                gaps_parts.append(
+                    encode_varint(np.array([first_doc - prev_last])) + g[skip:]
+                )
+            prev_last = int(last_arr[i])
+            tfs_parts.append(tfs_col[i].as_py())
+            dls_parts.append(dls_col[i].as_py())
+        o_gaps.append(b"".join(gaps_parts))
+        o_tfs.append(b"".join(tfs_parts))
+        o_dls.append(b"".join(dls_parts))
+    return pa.table(
+        {
+            "term": pa.array(o_term, type=pa.string()),
+            "df": pa.array(o_df, type=pa.int64()),
+            "cf": pa.array(o_cf, type=pa.int64()),
+            "first_doc": pa.array(o_first, type=pa.int64()),
+            "last_doc": pa.array(o_last, type=pa.int64()),
+            "gaps": pa.array(o_gaps, type=pa.large_binary()),
+            "tfs": pa.array(o_tfs, type=pa.large_binary()),
+            "dls": pa.array(o_dls, type=pa.large_binary()),
+        }
+    )
+
+
+def merged_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("cf", pa.int64()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("gaps", pa.large_binary()),
+            ("tfs", pa.large_binary()),
+            ("dls", pa.large_binary()),
+        ]
+    )
+
+
+def decode_posting_row(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, dls) arrays for one merged posting row."""
+    doc_ids = np.cumsum(decode_varint(row["gaps"]), dtype=np.uint64)
+    return doc_ids.astype(np.int64), decode_varint(row["tfs"]).astype(
+        np.int64
+    ), decode_varint(row["dls"]).astype(np.int64)

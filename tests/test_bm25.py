@@ -1,0 +1,81 @@
+"""BM25 top-k rank identity vs the exhaustive naive oracle (north rule)."""
+
+import numpy as np
+import pytest
+
+from pyf_aggregator_ray.pipelines.query import (
+    IndexReader,
+    QUERY_SET,
+    naive_bm25,
+    run_query_set,
+)
+
+TEST_QUERIES = [
+    ("import", 10),  # hot (salted) term
+    ("import def self", 20),
+    ("ident3", 10),
+    ("rare50_1", 5),  # unique rare term
+    ("ident1 ident2 rare77_0", 10),
+    ("zzz_not_present", 10),
+    ("import", 1),
+    ("def return", 10_000),  # k beyond matches
+    ("Ident4.IDENT5-ident6", 10),  # separator + case semantics
+]
+
+
+def test_rank_identity_vs_naive(built_index, synth_corpus_table):
+    root, cfg, _ = built_index
+    reader = IndexReader(root, cfg)
+    for query, k in TEST_QUERIES:
+        got = reader.score(query, k)
+        exp = naive_bm25(synth_corpus_table, query, k, cfg)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp], query
+        for (_, _, s1), (_, _, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, abs=1e-9), query
+
+
+def test_deterministic_tiebreak(built_index, synth_corpus_table):
+    """Docs with identical score must rank by doc_id ascending."""
+    root, cfg, _ = built_index
+    reader = IndexReader(root, cfg)
+    res = reader.score("import def self return", 300)
+    scores = {}
+    for rank, doc, s in res:
+        scores.setdefault(round(s, 12), []).append(doc)
+    for docs in scores.values():
+        assert docs == sorted(docs)
+
+
+def test_empty_query_and_absent_terms(built_index):
+    root, cfg, _ = built_index
+    reader = IndexReader(root, cfg)
+    assert reader.score("", 10) == []
+    assert reader.score("...///@@@", 10) == []
+    assert reader.score("absentterm9999", 10) == []
+
+
+def test_ray_pipeline_matches_direct(built_index):
+    """The actor-pool query pipeline returns the same rows as direct
+    scoring (plus score rounding)."""
+    root, cfg, _ = built_index
+    queries = [(i, q, k) for i, (q, k) in enumerate(TEST_QUERIES[:5])]
+    ds = run_query_set(root, queries, cfg)
+    got = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    reader = IndexReader(root, cfg)
+    rows = []
+    for qid, q, k in queries:
+        for rank, doc, s in reader.score(q, k):
+            rows.append((qid, rank, doc, round(s, 6)))
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (a, b, c, pytest.approx(d)) for a, b, c, d in rows
+    ]
+
+
+def test_weighted_scoring(built_index, synth_corpus_table):
+    root, cfg, _ = built_index
+    reader = IndexReader(root, cfg)
+    ids = synth_corpus_table["doc_id"].to_pylist()
+    weights = {d: 1.0 + (d % 3) for d in ids}
+    got = reader.score("import ident1", 50, doc_weights=weights)
+    exp = naive_bm25(synth_corpus_table, "import ident1", 50, cfg, doc_weights=weights)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]

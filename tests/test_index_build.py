@@ -1,0 +1,147 @@
+"""Index build correctness: posting-list equality vs a naive in-memory
+oracle, sha256 per-row invariant, salting/merge, resumable rebuild."""
+
+import json
+import os
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from pyf_aggregator_ray.stages.postings import decode_posting_row
+from pyf_aggregator_ray.state import manifest as mf
+
+
+def naive_inverted_index(corpus_table):
+    """Pure-Python oracle: term -> sorted [(doc_id, tf, dl)]."""
+    token_re = re.compile("[a-z0-9]+")
+    index = defaultdict(list)
+    for doc_id, content in zip(
+        corpus_table["doc_id"].to_pylist(), corpus_table["content"].to_pylist()
+    ):
+        toks = token_re.findall((content or "").lower())
+        dl = len(toks)
+        for term, tf in sorted(Counter(toks).items()):
+            index[term].append((doc_id, tf, dl))
+    return {t: sorted(v) for t, v in index.items()}
+
+
+def load_postings(root):
+    vdir = mf.read_alias(root)
+    tbl = pq.read_table(os.path.join(vdir, "postings"))
+    out = {}
+    for i in range(tbl.num_rows):
+        row = {c: tbl[c][i].as_py() for c in tbl.column_names}
+        ids, tfs, dls = decode_posting_row(row)
+        out[row["term"]] = (row, ids, tfs, dls)
+    return out
+
+
+def test_postings_match_naive_oracle(built_index, synth_corpus_table):
+    root, cfg, manifest = built_index
+    oracle = naive_inverted_index(synth_corpus_table)
+    got = load_postings(root)
+    assert set(got) == set(oracle)
+    for term, postings in oracle.items():
+        row, ids, tfs, dls = got[term]
+        exp_ids = [p[0] for p in postings]
+        assert list(ids) == exp_ids, term
+        assert list(tfs) == [p[1] for p in postings], term
+        assert list(dls) == [p[2] for p in postings], term
+        assert row["df"] == len(postings)
+        assert row["cf"] == sum(p[1] for p in postings)
+        # doc ids strictly increasing (delta-gap correctness)
+        assert np.all(np.diff(ids) > 0) or len(ids) <= 1
+
+
+def test_salting_was_exercised(built_index, synth_corpus_table):
+    """With hot_df_threshold=20 and salt_range_docs=40, hot terms must have
+    been split into multiple shards and merged back losslessly."""
+    root, cfg, manifest = built_index
+    oracle = naive_inverted_index(synth_corpus_table)
+    hot = [t for t, p in oracle.items() if len(p) > 80]
+    assert hot, "synthetic corpus should contain hot terms"
+    assert manifest["metrics"]["num_hot_terms"] > 0
+    got = load_postings(root)
+    for t in hot:
+        _, ids, _, _ = got[t]
+        assert list(ids) == [p[0] for p in oracle[t]]
+
+
+def test_sha256_invariant(built_index, synth_corpus_table):
+    """north rule: per-row content sha256 equality vs the source table."""
+    import hashlib
+
+    root, _, _ = built_index
+    vdir = mf.read_alias(root)
+    docs = pq.read_table(os.path.join(vdir, "docs")).sort_by("doc_id")
+    src = synth_corpus_table.sort_by("doc_id")
+    assert docs.num_rows == src.num_rows
+    for got, content in zip(
+        docs["sha256"].to_pylist(), src["content"].to_pylist()
+    ):
+        assert got == hashlib.sha256((content or "").encode()).hexdigest()
+
+
+def test_stats(built_index, synth_corpus_table):
+    root, _, _ = built_index
+    vdir = mf.read_alias(root)
+    stats = mf.read_stats(vdir)
+    oracle = naive_inverted_index(synth_corpus_table)
+    assert stats["num_docs"] == synth_corpus_table.num_rows
+    assert stats["vocab_size"] == len(oracle)
+    assert stats["total_postings"] == sum(len(v) for v in oracle.values())
+    total_tokens = sum(tf for v in oracle.values() for _, tf, _ in v)
+    assert stats["total_tokens"] == total_tokens
+    dls = {p[0]: p[2] for v in oracle.values() for p in v}
+    exp_avgdl = sum(dls.values()) / synth_corpus_table.num_rows
+    assert stats["avgdl"] == pytest.approx(exp_avgdl)
+
+
+def test_resumable_build_identical_postings(
+    tmp_path, synth_corpus_table, built_index
+):
+    """Partitioned checkpointed build must produce byte-identical posting
+    lists, and a rerun must skip completed partitions."""
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+
+    root = str(tmp_path / "resumable_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    corpus = ray.data.from_arrow(synth_corpus_table)
+    build_index("", root, cfg, corpus=corpus, resumable=True, num_partitions=4)
+
+    fast_root, _, _ = built_index
+    fast = load_postings(fast_root)
+    resumed = load_postings(root)
+    assert set(fast) == set(resumed)
+    for term in fast:
+        assert list(fast[term][1]) == list(resumed[term][1]), term
+        assert list(fast[term][2]) == list(resumed[term][2]), term
+
+    # all partitions marked done; a second build of the same version dir
+    # skips them (checkpoint resume)
+    vdir = mf.read_alias(root)
+    for pid in range(4):
+        assert mf.partition_done(vdir, pid)
+    marker = os.path.join(vdir, "partials", "part_00002", "_SUCCESS")
+    before = os.path.getmtime(marker)
+    from pyf_aggregator_ray.pipelines.build_index import _build_partials
+
+    _build_partials("", vdir, cfg, corpus, 4)  # no-op: everything done
+    assert os.path.getmtime(marker) == before
+
+
+def test_manifest_lineage(built_index):
+    root, _, manifest = built_index
+    vdir = mf.read_alias(root)
+    on_disk = mf.read_manifest(vdir)
+    assert on_disk["version"] == manifest["version"]
+    assert on_disk["stats"]["num_docs"] == manifest["stats"]["num_docs"]
+    assert "docs_per_sec" in on_disk["metrics"]
+    assert "postings_per_sec" in on_disk["metrics"]
+    assert on_disk["config"]["k1"] == 1.2
