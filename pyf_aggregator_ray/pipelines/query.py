@@ -31,6 +31,7 @@ import pyarrow.dataset as pads
 import ray.data
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.rounding import round6, sql_round6
 from ..functions.tokenizer import tokenize_query
 from ..sources.corpus import CORPUS_SQL
 from ..state import manifest as mf
@@ -167,9 +168,7 @@ class ScorerStage:
                 "query_id": pa.array(qids, type=pa.int64()),
                 "rank": pa.array(ranks, type=pa.int64()),
                 "doc_id": pa.array(docs, type=pa.int64()),
-                "score": pa.array(
-                    np.round(np.array(scores, dtype=np.float64), DEFAULT.score_round_decimals)
-                ),
+                "score": pa.array(round6(np.array(scores, dtype=np.float64))),
             }
         )
 
@@ -316,7 +315,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
   FROM scored
 )
-SELECT query_id, rnk AS rank, doc_id, round(score, {cfg.score_round_decimals}) AS score
+SELECT query_id, rnk AS rank, doc_id, {sql_round6('score')} AS score
 FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank
 """

@@ -147,3 +147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# populate the registry with the other pipeline families (imported last —
+# they call register() against the dict defined above)
+from . import textpipes as _textpipes  # noqa: E402
+
+_textpipes.register_all()

@@ -1,0 +1,326 @@
+"""Text-analysis / dedup / ANN pipelines over ``documents`` and
+``embeddings`` + their DuckDB oracles.
+
+Every oracle replicates the engine's algorithm exactly (same md5-derived
+hashes, same fixed MinHash constants, same rounding and tiebreaks), so a
+match verifies the distributed implementation — shuffle, salting,
+partial/final merges — not a reinterpretation of the spec.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import DEFAULT
+from ..functions.rounding import sql_round6
+from ..stages import ann as ann_stage
+from ..stages import dedup as dedup_stage
+from ..stages import textstats as ts
+
+TOKS_SQL = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+)
+"""
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID
+# ---------------------------------------------------------------------------
+
+
+def langid(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir).map_batches(ts.langid_batch, batch_format="pyarrow")
+
+
+def _stopword_values() -> str:
+    return ",\n    ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(ts.STOPWORDS)
+        for w in ts.STOPWORDS[lang]
+    )
+
+
+LANGID_SQL = f"""
+WITH {TOKS_SQL},
+sw(cand, term) AS (VALUES
+    {_stopword_values()}
+),
+counts AS (
+  SELECT t.doc_id, sw.cand, count(*)::BIGINT AS c
+  FROM toks t JOIN sw ON sw.term = t.term
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, cand ASC) AS rn
+  FROM counts
+)
+SELECT d.doc_id, coalesce(b.cand, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counting / quality / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir).map_batches(ts.token_count_batch, batch_format="pyarrow")
+
+
+TOKEN_COUNT_SQL = f"""
+WITH {TOKS_SQL},
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_unique_tokens, 0)::BIGINT AS n_unique_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def quality(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir).map_batches(ts.quality_batch, batch_format="pyarrow")
+
+
+def _all_stopword_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(ts.ALL_STOPWORDS))
+
+
+_R6RATIO = sql_round6("ratio")
+_R6QUAL = sql_round6("least(1.0, n_tokens / 200.0) * 0.4 + least(1.0, n_chars / 500.0) * 0.3 + ratio * 0.3")
+
+QUALITY_SQL = f"""
+WITH {TOKS_SQL},
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ({_all_stopword_list_sql()}) THEN 1 ELSE 0 END)::BIGINT AS sw
+  FROM toks GROUP BY doc_id
+),
+feat AS (
+  SELECT d.doc_id,
+         length(d.text)::BIGINT AS n_chars,
+         coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0
+              THEN coalesce(a.sw, 0) * 1.0 / a.n_tokens ELSE 0.0 END AS ratio
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)
+SELECT doc_id, n_chars, n_tokens,
+       {_R6RATIO} AS stopword_ratio,
+       {_R6QUAL} AS quality
+FROM feat
+ORDER BY doc_id
+"""
+
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir).map_batches(ts.fingerprint_batch, batch_format="pyarrow")
+
+
+FINGERPRINT_SQL = f"""
+WITH {TOKS_SQL},
+agg AS (SELECT doc_id, min(md5(term)) AS fingerprint FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.fingerprint, '') AS fingerprint
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    return dedup_stage.exact_dedup(_docs(sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS group_size
+FROM documents GROUP BY text
+ORDER BY doc_id
+"""
+
+
+def minhash_lsh(sf_dir: str) -> pa.Table:
+    return dedup_stage.minhash_lsh_dedup(_docs(sf_dir))
+
+
+def ngram_jaccard(sf_dir: str) -> pa.Table:
+    return dedup_stage.ngram_jaccard_pairs(_docs(sf_dir), DEFAULT.jaccard_threshold)
+
+
+def _minhash_perm_values() -> str:
+    a, b = dedup_stage.minhash_params(DEFAULT.minhash_num_perm)
+    return ",\n    ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(len(a))
+    )
+
+
+SHINGLES_SQL = f"""
+WITH {TOKS_SQL},
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS sh
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY sh IS NOT NULL
+  )
+)
+"""
+
+
+def _pair_jaccard_tail(threshold: float) -> str:
+    return f"""
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM shingles s1 JOIN shingles s2
+    ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         i.shared * 1.0 / (za.sz + zb.sz - i.shared) AS j
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, {sql_round6('j')} AS jaccard
+FROM jac WHERE j >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+NGRAM_JACCARD_SQL = SHINGLES_SQL + "," + _pair_jaccard_tail(DEFAULT.jaccard_threshold)
+
+_ROWS_PER_BAND = DEFAULT.minhash_num_perm // DEFAULT.minhash_bands
+
+MINHASH_LSH_SQL = (
+    SHINGLES_SQL
+    + f""",
+perms(p, a, b) AS (VALUES
+    {_minhash_perm_values()}
+),
+hashed AS (
+  SELECT doc_id, sh,
+         ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h
+  FROM shingles
+),
+minhashes AS (
+  SELECT doc_id, p.p AS p,
+         min((p.a * h.h + p.b) % {dedup_stage.MERSENNE31}) AS mh
+  FROM hashed h CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (p // {_ROWS_PER_BAND})::BIGINT AS band,
+         md5(string_agg(mh::VARCHAR, '-' ORDER BY p)) AS sig
+  FROM minhashes
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM shingles s1 JOIN shingles s2
+    ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  JOIN cands c ON c.doc_a = s1.doc_id AND c.doc_b = s2.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         i.shared * 1.0 / (za.sz + zb.sz - i.shared) AS j
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, {sql_round6('j')} AS jaccard
+FROM jac WHERE j >= {DEFAULT.jaccard_threshold}
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def simhash_pairs(sf_dir: str) -> pa.Table:
+    # no SQL oracle (bit-level simhash is impractical in SQL); verified in
+    # tests/test_dedup.py against a brute-force hamming oracle
+    return dedup_stage.simhash_near_dup_pairs(_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ANN over embeddings
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.brute_force_topk(emb, ANN_QUERY_IDS, DEFAULT.ann_default_k)
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         {sql_round6('list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])')} AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank::BIGINT AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {DEFAULT.ann_default_k}
+ORDER BY query_vec_id, rank
+"""
+
+
+def ann_topk_lsh(sf_dir: str) -> pa.Table:
+    # approximate (recall < 1): rows-only driver check; recall asserted
+    # against brute force in tests/test_ann.py
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.lsh_bucketed_topk(emb, ANN_QUERY_IDS, DEFAULT.ann_default_k)
+
+
+def register_all() -> None:
+    from . import registry as r
+
+    r.register("langid", langid, LANGID_SQL)
+    r.register("token_count", token_count, TOKEN_COUNT_SQL)
+    r.register("quality_score", quality, QUALITY_SQL)
+    r.register("doc_fingerprint", fingerprint, FINGERPRINT_SQL)
+    r.register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
+    r.register("minhash_lsh_dedup", minhash_lsh, MINHASH_LSH_SQL)
+    r.register("ngram_jaccard_pairs", ngram_jaccard, NGRAM_JACCARD_SQL)
+    r.register("simhash_near_dup", simhash_pairs, None)
+    r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
+    r.register("ann_topk_lsh", ann_topk_lsh, None)

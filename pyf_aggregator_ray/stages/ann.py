@@ -1,0 +1,224 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (ray.put), each batch computes a vectorized matmul and
+emits only its LOCAL top-k per query (partial top-k), and a final tiny
+groupby merges per-query heaps — the same partial+final shape as the
+postings build. The LSH-bucketed variant is the scale path (recall < 1,
+checked against brute force in tests, not against a SQL oracle).
+
+Ranking determinism across engines: order by round(cosine, 6) DESC,
+vec_id ASC — the rounded score is the sort key in both the engine and
+the DuckDB oracle, so float summation-order noise cannot flip ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.rounding import round6
+
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("query_vec_id", pa.int64()),
+        ("rank", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("cosine", pa.float64()),
+    ]
+)
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    """Concat a Dataset's blocks, ignoring empty blocks whose schema may
+    be a placeholder (groupby can emit zero-row blocks)."""
+    tbls = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return _OUT_SCHEMA.empty_table()
+    return pa.concat_tables([t.select(_OUT_SCHEMA.names) for t in tbls])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(col[0])
+    return flat.reshape(len(col), dim)
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    query_vec_ids: list[int],
+    k: int,
+) -> pa.Table:
+    """Exact cosine top-k: (query_vec_id, rank, vec_id, cosine)."""
+    qtbl_refs = embeddings.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(
+                t["vec_id"], value_set=pa.array(query_vec_ids, type=pa.int64())
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    qtbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in qtbl_refs) if t.num_rows]
+    ).sort_by("vec_id")
+    q_ids = qtbl["vec_id"].to_pylist()
+    q_mat = _normalize(_emb_matrix(qtbl))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_, qm = ray.get(q_ref)
+        vecs = _normalize(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cos = qm @ vecs.T  # (n_queries, batch)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(ids_):
+            row = cos[qi]
+            top = np.lexsort((vids, -round6(row)))[:k]
+            out_q.extend([qid] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_c.extend(round6(row[top]).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partial = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_query(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((vids, -cos))[:k]
+        return pa.table(
+            {
+                "query_vec_id": g["query_vec_id"].take(pa.array(top)),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "vec_id": pa.array(vids[top], type=pa.int64()),
+                "cosine": pa.array(cos[top], type=pa.float64()),
+            }
+        )
+
+    out = partial.groupby("query_vec_id").map_groups(
+        merge_query, batch_format="pyarrow"
+    )
+    return _collect(out).sort_by(
+        [("query_vec_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: ray.data.Dataset,
+    query_vec_ids: list[int],
+    k: int,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane signatures bucket vectors; each
+    query searches only its bucket plus hamming<=1 neighbor buckets. Same
+    output schema as brute_force_topk; recall measured in tests."""
+    rng = np.random.default_rng(seed)
+
+    # probe dim from one row
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes = rng.standard_normal((num_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _emb_matrix(t)
+        bits = (m @ pl.T) > 0
+        sig = np.zeros(len(m), dtype=np.int64)
+        for i in range(pl.shape[0]):
+            sig |= bits[:, i].astype(np.int64) << i
+        return t.append_column("bucket", pa.array(sig, type=pa.int64()))
+
+    with_sig = embeddings.map_batches(sig_batch, batch_format="pyarrow")
+    qtbl_refs = with_sig.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(
+                t["vec_id"], value_set=pa.array(query_vec_ids, type=pa.int64())
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    qtbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in qtbl_refs) if t.num_rows]
+    ).sort_by("vec_id")
+    q_ids = qtbl["vec_id"].to_pylist()
+    q_mat = _normalize(_emb_matrix(qtbl))
+    q_sigs = qtbl["bucket"].to_pylist()
+    # probe set: own bucket + hamming-1 neighbors
+    probe: dict[int, list[int]] = {}
+    for qid, s in zip(q_ids, q_sigs):
+        buckets = {s} | {s ^ (1 << i) for i in range(num_planes)}
+        for b in buckets:
+            probe.setdefault(b, []).append(qid)
+    probe_ref = ray.put((probe, dict(zip(q_ids, range(len(q_ids)))), q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pr, qidx, qm = ray.get(probe_ref)
+        vecs = _normalize(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sigs = batch["bucket"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_c = [], [], []
+        for b in np.unique(sigs):
+            qids = pr.get(int(b))
+            if not qids:
+                continue
+            mask = sigs == b
+            sub = vecs[mask]
+            subids = vids[mask]
+            for qid in qids:
+                row = qm[qidx[qid]] @ sub.T
+                top = np.lexsort((subids, -round6(row)))[:k]
+                out_q.extend([qid] * len(top))
+                out_v.extend(subids[top].tolist())
+                out_c.extend(round6(row[top]).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partial = with_sig.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_query(g: pa.Table) -> pa.Table:
+        # a vec may appear once per (bucket-probe); dedup by vec_id first
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(vids, return_index=True)
+        vids, cos = vids[first_idx], cos[first_idx]
+        top = np.lexsort((vids, -cos))[:k]
+        return pa.table(
+            {
+                "query_vec_id": g["query_vec_id"].take(pa.array(first_idx[top])),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "vec_id": pa.array(vids[top], type=pa.int64()),
+                "cosine": pa.array(cos[top], type=pa.float64()),
+            }
+        )
+
+    out = partial.groupby("query_vec_id").map_groups(
+        merge_query, batch_format="pyarrow"
+    )
+    return _collect(out).sort_by(
+        [("query_vec_id", "ascending"), ("rank", "ascending")]
+    )

@@ -1,0 +1,96 @@
+"""ANN: brute-force exactness vs numpy oracle; LSH recall sanity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pyf_aggregator_ray.functions.rounding import round6
+from pyf_aggregator_ray.stages import ann
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    rng = np.random.default_rng(42)
+    n, dim = 200, 16
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    m[7] = m[3] * 2.0  # same direction as 3 -> cosine 1.0
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def numpy_oracle(tbl, qids, k):
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = []
+    for q in qids:
+        cos = round6(m @ m[q])
+        order = np.lexsort((np.arange(len(m)), -cos))[:k]
+        out.extend(
+            (q, r + 1, int(v), float(cos[v])) for r, v in enumerate(order)
+        )
+    return out
+
+
+def test_brute_force_matches_oracle(emb_table):
+    ds = ray.data.from_arrow(emb_table)
+    got = ann.brute_force_topk(ds, [0, 3, 50], 5)
+    rows = list(
+        zip(
+            got["query_vec_id"].to_pylist(),
+            got["rank"].to_pylist(),
+            got["vec_id"].to_pylist(),
+            got["cosine"].to_pylist(),
+        )
+    )
+    assert rows == numpy_oracle(emb_table, [0, 3, 50], 5)
+
+
+def test_scaled_vector_ties(emb_table):
+    """vec 7 = 2 * vec 3: cosine(3,7)=1.0; rank ties break by vec_id."""
+    ds = ray.data.from_arrow(emb_table)
+    got = ann.brute_force_topk(ds, [3], 3)
+    assert got["vec_id"].to_pylist()[:2] == [3, 7]
+    assert got["cosine"].to_pylist()[0] == 1.0
+    assert got["cosine"].to_pylist()[1] == 1.0
+
+
+def test_partial_topk_invariant_to_block_count(emb_table):
+    """Local top-k + merge must be invariant to input partitioning."""
+    one = ann.brute_force_topk(ray.data.from_arrow(emb_table), [0, 9], 7)
+    many = ann.brute_force_topk(
+        ray.data.from_arrow(emb_table).repartition(13), [0, 9], 7
+    )
+    assert one.equals(many)
+
+
+def test_lsh_recall(emb_table):
+    ds = ray.data.from_arrow(emb_table)
+    exact = ann.brute_force_topk(ds, [0, 3, 50], 5)
+    approx = ann.lsh_bucketed_topk(ds, [0, 3, 50], 5)
+    # self is always found (same bucket), schema identical
+    assert approx.schema.names == exact.schema.names
+    by_q = {}
+    for q, v in zip(
+        approx["query_vec_id"].to_pylist(), approx["vec_id"].to_pylist()
+    ):
+        by_q.setdefault(q, set()).add(v)
+    for q in (0, 3, 50):
+        assert q in by_q[q]
+    # recall vs exact top-5 should be nontrivial (>40% across queries)
+    exact_by_q = {}
+    for q, v in zip(
+        exact["query_vec_id"].to_pylist(), exact["vec_id"].to_pylist()
+    ):
+        exact_by_q.setdefault(q, set()).add(v)
+    recall = np.mean(
+        [len(by_q[q] & exact_by_q[q]) / len(exact_by_q[q]) for q in (0, 3, 50)]
+    )
+    assert recall > 0.4
