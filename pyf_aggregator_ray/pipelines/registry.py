@@ -154,3 +154,7 @@ def oracle_sql() -> dict[str, str]:
 from . import textpipes as _textpipes  # noqa: E402
 
 _textpipes.register_all()
+
+from . import relational as _relational  # noqa: E402
+
+_relational.register_all()

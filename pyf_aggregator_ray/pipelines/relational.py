@@ -1,0 +1,602 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+Each query exercises one operator family from SURVEY.md §2 (filters M3/M4,
+projections M1, parsers M5/M6, aggregations A1-A4, sorts/top-k T1-T5,
+set ops D1-D5, joins J1-J5, streaming windows §2.10), expressed Ray-Data-
+first, with an exact DuckDB oracle.
+
+Determinism for float aggregates: money/value columns are 2-decimal
+doubles, so sums are computed in integer cents (exact, order-independent)
+and divided back — both sides hash-identically with no float-summation
+noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from ..functions.versions import version_slice_batch
+
+US = 1_000_000  # microseconds per second
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """2-dp double -> exact int64 cents (mirror: CAST(round(x*100) AS BIGINT))."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter -> derived cents columns -> groupby agg
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents(t["l_quantity"]),
+                "price_c": price_c,
+                "disc_price_c4": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_c4", alias_name="disc_price_c4"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["qty_c"] / 100.0,
+            "sum_base_price": df["price_c"] / 100.0,
+            "sum_disc_price": df["disc_price_c4"] / 10000.0,
+            "avg_qty": df["qty_c"] / 100.0 / df["count_order"],
+            "count_order": df["count_order"].astype("int64"),
+        }
+    )
+    return out
+
+
+Q1_SQL = """
+WITH prep AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_price_c4
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty_c)::BIGINT / 100.0 AS sum_qty,
+       sum(price_c)::BIGINT / 100.0 AS sum_base_price,
+       sum(disc_price_c4)::BIGINT / 10000.0 AS sum_disc_price,
+       sum(qty_c)::BIGINT / 100.0 / count(*) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM prep
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# newest-per-group (reference A2: group_by name, sort desc, limit 1)
+# ---------------------------------------------------------------------------
+
+
+def newest_order_per_customer(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def newest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, True])
+        return g.head(1)[["o_custkey", "o_orderkey", "o_orderdate"]]
+
+    return ds.groupby("o_custkey").map_groups(newest, batch_format="pandas")
+
+
+NEWEST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (reference T3: top-5 contributors)
+# ---------------------------------------------------------------------------
+
+
+def top5_orders_per_status(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderkey", "o_totalprice"],
+    )
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_orderstatus", "rank", "o_orderkey", "o_totalprice"]]
+
+    return ds.groupby("o_orderstatus").map_groups(top5, batch_format="pandas")
+
+
+TOP5_SQL = """
+SELECT o_orderstatus, rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rank
+  FROM orders
+) WHERE rank <= 5
+ORDER BY o_orderstatus, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join + aggregate (reference J1/J2 enrichment join)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer via broadcast dict (small side shipped once with
+    ray.put, looked up per batch — reference enrichment-join shape
+    ``enrichers/github.py:157-297``), then exact cents aggregation."""
+    cust = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r)
+                for r in ray.data.read_parquet(
+                    f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"],
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    seg_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        segs = [m.get(k, "UNKNOWN") for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "segment": pa.array(segs, type=pa.string()),
+                "price_c": _cents(t["o_totalprice"]),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(join_batch, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders"))
+    )
+    df = agg.to_pandas().sort_values("segment").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "segment": df["segment"],
+            "total_price": df["price_c"] / 100.0,
+            "n_orders": df["n_orders"].astype("int64"),
+        }
+    )
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment AS segment,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS total_price,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# union with discriminator (reference D4: pypi + npm in one collection)
+# ---------------------------------------------------------------------------
+
+
+def registry_union(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    a = ev.filter(expr="event_type == 'signup'").map_batches(
+        lambda t: t.append_column(
+            "registry", pa.array(["signup_feed"] * t.num_rows, type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    b = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: t.append_column(
+            "registry", pa.array(["purchase_feed"] * t.num_rows, type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    u = a.union(b)
+    return u.groupby("registry").aggregate(Count(alias_name="n"))
+
+
+REGISTRY_UNION_SQL = """
+WITH u AS (
+  SELECT event_id, 'signup_feed' AS registry FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT event_id, 'purchase_feed' AS registry FROM events WHERE event_type = 'purchase'
+)
+SELECT registry, count(*)::BIGINT AS n FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct (reference A1: grouped-distinct names)
+# ---------------------------------------------------------------------------
+
+
+def distinct_segments(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+    )
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+
+
+DISTINCT_SEGMENTS_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# filters: substring (M4) and prefix-list (M3, the classifier predicate)
+# ---------------------------------------------------------------------------
+
+
+def name_substring_filter(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t["c_name"], "11")),
+        batch_format="pyarrow",
+    )
+
+
+NAME_SUBSTRING_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_name LIKE '%11%' ORDER BY c_custkey
+"""
+
+PREFIXES = ("SMALL", "STANDARD")
+
+
+def type_prefix_filter(sf_dir: str) -> ray.data.Dataset:
+    """Keep parts whose p_type starts with any configured prefix — the
+    classifier-prefix predicate (reference ``fetcher.py:582-602``)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"]
+    )
+
+    def pred(t: pa.Table) -> pa.Table:
+        mask = None
+        for p in PREFIXES:
+            m = pc.starts_with(t["p_type"], p)
+            mask = m if mask is None else pc.or_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(pred, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Count(alias_name="n_parts")
+    )
+
+
+TYPE_PREFIX_SQL = f"""
+SELECT p_brand, count(*)::BIGINT AS n_parts
+FROM part
+WHERE {" OR ".join(f"p_type LIKE '{p}%'" for p in PREFIXES)}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# timestamp parsing (M5) + JSON-ish props extraction (scalar functions §2.9)
+# ---------------------------------------------------------------------------
+
+
+def event_timestamps(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "props"]
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        epoch_s = pc.divide(us, US)  # integer division (us >= 0)
+        extracted = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        if isinstance(extracted, pa.ChunkedArray):
+            extracted = extracted.combine_chunks()
+        k = pc.cast(extracted.field("k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "epoch_s": epoch_s,
+                "k_value": k,
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+EVENT_TS_SQL = """
+SELECT event_id,
+       epoch_us(ts) // 1000000 AS epoch_s,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_value
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming windows (§2.10): tumbling window + sessionization
+# ---------------------------------------------------------------------------
+
+WINDOW_S = 3600
+
+
+def tumbling_window(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), US)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.multiply(
+                    pc.divide(epoch_s, WINDOW_S), WINDOW_S
+                ),
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "window_start": df["window_start"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "sum_value": df["value_c"] / 100.0,
+        }
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT event_type,
+       (epoch_us(ts) // 1000000 // {WINDOW_S}) * {WINDOW_S} AS window_start,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+SESSION_GAP_S = 1800
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds 30 min. Ordering assumption: events are
+    sorted by ts WITHIN each user group (done inside the group UDF —
+    map_groups gives no intra-group order guarantee)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        epoch = g["ts"].astype("int64") // US
+        new = (epoch.diff().fillna(SESSION_GAP_S + 1) > SESSION_GAP_S).cumsum()
+        out = g.assign(session_id=new.astype("int64"), epoch=epoch)
+        res = out.groupby("session_id").agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "count"),
+            start_s=("epoch", "min"),
+            end_s=("epoch", "max"),
+        )
+        res = res.reset_index()
+        res["duration_s"] = (res["end_s"] - res["start_s"]).astype("int64")
+        return res[["user_id", "session_id", "n_events", "start_s", "duration_s"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS epoch
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, epoch,
+         CASE WHEN epoch - lag(epoch) OVER w > {SESSION_GAP_S}
+              OR lag(epoch) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, epoch,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY epoch, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(epoch) AS start_s,
+       (max(epoch) - min(epoch))::BIGINT AS duration_s
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti join (reference J5 / D3: registry isolation, stale reconciliation)
+# ---------------------------------------------------------------------------
+
+
+RECENT_CUTOFF = "1998-06-01"
+
+
+def customers_without_recent_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join via broadcast key set (semi/anti pattern: broadcast the
+    small key side, filter inside map_batches): customers with no order
+    on/after RECENT_CUTOFF."""
+    keys: set[int] = set()
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp(RECENT_CUTOFF)))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    for r in recent.to_arrow_refs():
+        t = ray.get(r)
+        if t.num_rows:
+            keys.update(t["o_custkey"].to_pylist())
+    keys_ref = ray.put(frozenset(keys))
+
+    def anti(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = pa.array([c not in k for c in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{RECENT_CUTOFF}'
+)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# version_sortable golden transform (M6)
+# ---------------------------------------------------------------------------
+
+VERSIONS = [
+    "1.0.3", "2.1.2", "2.1.3", "2.1.5", "12.5.9",
+    "2.0.0a1", "2.0.0b1", "2.0.0", "1.0.0rc2", "1.0.0dev3",
+    "0.9", "3.2.1", "not-a-version",
+]
+
+
+def version_sortable_table(sf_dir: str) -> pa.Table:
+    batch = pa.table({"version": pa.array(VERSIONS, type=pa.string())})
+    out = version_slice_batch(batch)
+    return out.select(["version", "version_major", "version_minor", "version_bugfix", "version_sortable"])
+
+
+def _version_values_sql() -> str:
+    t = version_sortable_table("")
+    rows = []
+    for i in range(t.num_rows):
+        rows.append(
+            "('{v}', {a}, {b}, {c}, '{s}')".format(
+                v=t["version"][i].as_py(),
+                a=t["version_major"][i].as_py(),
+                b=t["version_minor"][i].as_py(),
+                c=t["version_bugfix"][i].as_py(),
+                s=t["version_sortable"][i].as_py(),
+            )
+        )
+    return ",\n    ".join(rows)
+
+
+def version_sortable_sql() -> str:
+    """Oracle = golden literal table: asserts the engine's encode matches
+    the reference's golden vectors byte-for-byte (the vectors themselves
+    are asserted against the reference test data in tests/test_versions.py)."""
+    return f"""
+SELECT * FROM (VALUES
+    {_version_values_sql()}
+) AS t(version, version_major, version_minor, version_bugfix, version_sortable)
+"""
+
+
+def register_all() -> None:
+    from . import registry as r
+
+    r.register("q1_pricing_summary", q1_pricing_summary, Q1_SQL)
+    r.register("newest_order_per_customer", newest_order_per_customer, NEWEST_ORDER_SQL)
+    r.register("top5_orders_per_status", top5_orders_per_status, TOP5_SQL)
+    r.register("revenue_by_segment", revenue_by_segment, REVENUE_BY_SEGMENT_SQL)
+    r.register("registry_union", registry_union, REGISTRY_UNION_SQL)
+    r.register("distinct_segments", distinct_segments, DISTINCT_SEGMENTS_SQL)
+    r.register("name_substring_filter", name_substring_filter, NAME_SUBSTRING_SQL)
+    r.register("type_prefix_filter", type_prefix_filter, TYPE_PREFIX_SQL)
+    r.register("event_timestamps", event_timestamps, EVENT_TS_SQL)
+    r.register("tumbling_window", tumbling_window, TUMBLING_SQL)
+    r.register("sessionize", sessionize, SESSIONIZE_SQL)
+    r.register(
+        "customers_without_recent_orders",
+        customers_without_recent_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+    )
+    r.register("version_sortable", version_sortable_table, version_sortable_sql())

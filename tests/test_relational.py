@@ -1,0 +1,65 @@
+"""Relational pipelines vs DuckDB oracles at sf0.001 (same comparison the
+driver performs at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyf_aggregator_ray.pipelines import relational as rel
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["customer", "orders", "lineitem", "events", "part"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+CASES = [
+    ("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL),
+    ("newest_order", rel.newest_order_per_customer, rel.NEWEST_ORDER_SQL),
+    ("top5", rel.top5_orders_per_status, rel.TOP5_SQL),
+    ("revenue_by_segment", rel.revenue_by_segment, rel.REVENUE_BY_SEGMENT_SQL),
+    ("registry_union", rel.registry_union, rel.REGISTRY_UNION_SQL),
+    ("tumbling", rel.tumbling_window, rel.TUMBLING_SQL),
+    ("sessionize", rel.sessionize, rel.SESSIONIZE_SQL),
+    (
+        "anti_join",
+        rel.customers_without_recent_orders,
+        rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    ("versions", rel.version_sortable_table, rel.version_sortable_sql()),
+]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_matches_oracle(con, name, fn, sql):
+    res = fn(SF)
+    res = res.to_pandas() if hasattr(res, "to_pandas") else res
+    oracle = con.execute(sql).fetchdf()
+    cols = sorted(res.columns)
+    assert cols == sorted(oracle.columns)
+    r1 = res[cols].sort_values(cols).reset_index(drop=True)
+    r2 = oracle[cols].sort_values(cols).reset_index(drop=True)
+    assert len(r1) == len(r2), name
+    for c in cols:
+        if pd.api.types.is_float_dtype(r1[c]) or pd.api.types.is_float_dtype(r2[c]):
+            assert ((r1[c].astype(float) - r2[c].astype(float)).abs() < 1e-9).all(), c
+        else:
+            assert (r1[c].astype(str) == r2[c].astype(str)).all(), c
+
+
+def test_sessionize_gap_semantics():
+    """Events within 30 min stay in one session; >30 min splits."""
+    df = rel.sessionize(SF).to_pandas()
+    assert (df["n_events"] >= 1).all()
+    assert (df["duration_s"] >= 0).all()
+    # session ids are dense per user starting at 1
+    for _, g in df.groupby("user_id"):
+        assert sorted(g["session_id"]) == list(range(1, len(g) + 1))
