@@ -1,0 +1,111 @@
+"""CLI job entry points (mirror of the reference's ``pyfa`` CLI modes:
+full fetch ``pyfa pypi -f``, incremental, enrichment, maintenance —
+``/root/reference/src/pyf/aggregator/cli.py:84-117``).
+
+Usage:
+    python -m pyf_aggregator_ray.cli build  --sf-dir DIR --index-root DIR [--resumable]
+    python -m pyf_aggregator_ray.cli query  --index-root DIR --query "merge sort" [-k 10]
+    python -m pyf_aggregator_ray.cli queryset --index-root DIR
+    python -m pyf_aggregator_ray.cli incremental --index-root DIR --sf-dir DIR
+    python -m pyf_aggregator_ray.cli gc     --index-root DIR [--keep 2]
+
+Owns its Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pyf_aggregator_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build (versioned + alias swap)")
+    b.add_argument("--sf-dir", required=True)
+    b.add_argument("--index-root", required=True)
+    b.add_argument("--resumable", action="store_true")
+    b.add_argument("--num-partitions", type=int, default=8)
+
+    q = sub.add_parser("query", help="one BM25 query against the live index")
+    q.add_argument("--index-root", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("-k", type=int, default=10)
+
+    qs = sub.add_parser("queryset", help="run the reference query set")
+    qs.add_argument("--index-root", required=True)
+
+    inc = sub.add_parser("incremental", help="merge new docs into the live index")
+    inc.add_argument("--index-root", required=True)
+    inc.add_argument("--sf-dir", required=True)
+
+    g = sub.add_parser("gc", help="delete old index versions")
+    g.add_argument("--index-root", required=True)
+    g.add_argument("--keep", type=int, default=2)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gc":  # no Ray needed
+        from .state import manifest as mf
+
+        removed = mf.gc_old_versions(args.index_root, keep=args.keep)
+        print(json.dumps({"removed_versions": removed}))
+        return 0
+
+    _ensure_ray()
+    import ray
+
+    try:
+        if args.cmd == "build":
+            from .pipelines.build_index import build_index
+
+            manifest = build_index(
+                args.sf_dir,
+                args.index_root,
+                resumable=args.resumable,
+                num_partitions=args.num_partitions,
+            )
+            print(json.dumps({"stats": manifest["stats"], "metrics": manifest["metrics"]}, default=str))
+        elif args.cmd == "query":
+            from .pipelines.query import IndexReader
+
+            reader = IndexReader(args.index_root)
+            rows = reader.score(args.query, args.k)
+            print(json.dumps([{"rank": r, "doc_id": d, "score": round(s, 6)} for r, d, s in rows]))
+        elif args.cmd == "queryset":
+            from .pipelines.query import run_query_set
+
+            df = run_query_set(args.index_root).to_pandas()
+            print(df.to_json(orient="records"))
+        elif args.cmd == "incremental":
+            from .pipelines.incremental import incremental_update
+            from .sources.corpus import read_corpus
+
+            manifest = incremental_update(args.index_root, read_corpus(args.sf_dir))
+            print(json.dumps({"stats": manifest["stats"]}, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Enrichment queries + weighted BM25 (registry entries + oracles)."""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from ..config import DEFAULT
+from ..functions.rounding import sql_round6
+from ..sources.corpus import CORPUS_SQL, read_corpus
+from ..stages import enrich
+from . import query as q
+
+
+def enrich_repo_stats(sf_dir: str) -> ray.data.Dataset:
+    return enrich.repo_stats(read_corpus(sf_dir))
+
+
+REPO_STATS_SQL = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT repo, count(*)::BIGINT AS file_count,
+       sum(length(content))::BIGINT AS total_chars
+FROM corpus GROUP BY repo ORDER BY repo
+"""
+
+
+def enrich_lang_stats(sf_dir: str) -> ray.data.Dataset:
+    return enrich.lang_stats(read_corpus(sf_dir))
+
+
+LANG_STATS_SQL = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT lang, count(*)::BIGINT AS file_count
+FROM corpus GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_weights(sf_dir: str) -> ray.data.Dataset:
+    return enrich.doc_weights_table(read_corpus(sf_dir))
+
+
+_W_EXPR = sql_round6(f"1.0 + {DEFAULT.repo_weight_scale} * ln(file_count)")
+
+DOC_WEIGHTS_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+stats AS (SELECT repo, count(*)::BIGINT AS file_count FROM corpus GROUP BY repo),
+weights AS (SELECT repo, {_W_EXPR} AS w FROM stats)
+SELECT c.doc_id, c.repo, w.w AS weight
+FROM corpus c JOIN weights w ON w.repo = c.repo
+ORDER BY c.doc_id
+"""
+
+
+def weighted_bm25(sf_dir: str):
+    """BM25 with enrichment-derived per-document weight multipliers —
+    the reference's weighted-field ranking folded into our scorer."""
+    import pyarrow as pa
+
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    corpus = read_corpus(sf_dir)
+    wmap: dict[int, float] = {}
+    for ref in enrich.doc_weights_table(corpus).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            wmap.update(zip(t["doc_id"].to_pylist(), t["weight"].to_pylist()))
+    ds = q.run_query_set(root, doc_weights=wmap)
+    out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def weighted_bm25_oracle_sql() -> str:
+    return q.bm25_oracle_sql(weighted=True)
+
+
+def register_all() -> None:
+    from . import registry as r
+
+    r.register("enrich_repo_stats", enrich_repo_stats, REPO_STATS_SQL)
+    r.register("enrich_lang_stats", enrich_lang_stats, LANG_STATS_SQL)
+    r.register("doc_weights", doc_weights, DOC_WEIGHTS_SQL)
+    r.register("weighted_bm25", weighted_bm25, weighted_bm25_oracle_sql())

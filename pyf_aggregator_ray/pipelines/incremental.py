@@ -1,0 +1,152 @@
+"""Incremental index updates: watermark + dedup + delta merge.
+
+Mirror of the reference's incremental path (RSS feed -> Redis ``SET NX``
+dedup -> per-entry upsert, ``/root/reference/src/pyf/aggregator/
+queue.py:590-724,539-587``; sincefile watermark ``fetcher.py:106-118``;
+stale-id reconciliation ``npm_main.py:336-348``) as a batch job:
+
+1. read the live index version (ALIAS)
+2. anti-join incoming corpus rows against already-indexed doc ids
+   (broadcast id set here; at 10^12-doc scale this becomes a Bloom
+   filter or a hash-partitioned anti-join — semantics identical)
+3. tokenize + encode ONLY the delta docs into posting shards
+4. merge: existing posting rows are themselves valid shards, so the
+   delta merge is the same ordered-concat streaming aggregate used by
+   the full build — groupby(term) over (old rows ∪ delta shards)
+5. write v_{N+1}, verify counts, atomically switch ALIAS (old version
+   stays live until cutover — the zero-downtime property, reference
+   ``typesense_util.py:174-319``)
+
+The resulting postings are byte-identical to a from-scratch full build
+over the union corpus (asserted in tests/test_incremental.py), because
+delta doc-id ranges are disjoint from indexed ones and delta-gap encoding
+composes under ordered concatenation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import DEFAULT, EngineConfig
+from ..stages.postings import encode_partition
+from ..stages.tokenize import TokenizeStage, doc_meta_batch
+from ..state import manifest as mf
+from .build_index import _merge_stage, _tokens_ds
+
+
+def indexed_doc_ids(vdir: str) -> frozenset[int]:
+    ids: set[int] = set()
+    for ref in ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id"]
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            ids.update(t["doc_id"].to_pylist())
+    return frozenset(ids)
+
+
+def incremental_update(
+    index_root: str,
+    delta_corpus: ray.data.Dataset,
+    cfg: EngineConfig | None = None,
+    num_parts: int | None = None,
+) -> dict:
+    """Merge new corpus rows into the live index as version N+1."""
+    cfg = cfg or DEFAULT
+    t0 = time.perf_counter()
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}; run a full build first")
+    version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    os.makedirs(vdir, exist_ok=True)
+
+    # ---- watermark/dedup: drop rows already indexed (idempotent rerun) ----
+    seen_ref = ray.put(indexed_doc_ids(live))
+
+    def anti(t: pa.Table) -> pa.Table:
+        seen = ray.get(seen_ref)
+        mask = pa.array([d not in seen for d in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    fresh = delta_corpus.map_batches(anti, batch_format="pyarrow")
+
+    # ---- docs meta: old partitions + delta rows -> v_{N+1}/docs ----
+    old_docs = ray.data.read_parquet(os.path.join(live, "docs"))
+    new_meta = fresh.map_batches(doc_meta_batch, batch_format="pyarrow")
+    old_docs.union(new_meta).write_parquet(os.path.join(vdir, "docs"))
+
+    docs_meta = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"])
+    agg = docs_meta.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sum_dl"))
+    n_docs = int(agg["n"])
+    avgdl = (int(agg["sum_dl"] or 0) / n_docs) if n_docs else 0.0
+
+    # ---- delta shards: range salt keeps them disjoint and mergeable ----
+    def salt_delta(t: pa.Table) -> pa.Table:
+        salt = (
+            t["doc_id"].to_numpy(zero_copy_only=False) // cfg.salt_range_docs
+        ).astype(np.int64)
+        return t.append_column("salt", pa.array(salt))
+
+    delta_shards = (
+        _tokens_ds(fresh, cfg)
+        .map_batches(salt_delta, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(encode_partition, batch_format="pyarrow")
+        .drop_columns(["salt"])
+    )
+
+    # existing posting rows are valid single shards; union + same merge
+    old_postings = ray.data.read_parquet(os.path.join(live, "postings"))
+    if num_parts is None:
+        num_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    merged = _merge_stage(old_postings.union(delta_shards), merge_parts=num_parts)
+    merged.sort("term").write_parquet(
+        os.path.join(vdir, "postings"),
+        min_rows_per_file=cfg.postings_rows_per_file,
+    )
+
+    # ---- stats + manifest + verified atomic cutover ----
+    pagg = ray.data.read_parquet(
+        os.path.join(vdir, "postings"), columns=["df", "cf"]
+    ).aggregate(
+        Count(alias_name="vocab"),
+        Sum("df", alias_name="total_postings"),
+        Sum("cf", alias_name="total_tokens"),
+    )
+    stats = {
+        "num_docs": n_docs,
+        "avgdl": avgdl,
+        "vocab_size": int(pagg["vocab"] or 0),
+        "total_postings": int(pagg["total_postings"] or 0),
+        "total_tokens": int(pagg["total_tokens"] or 0),
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    mf.write_stats(vdir, stats)
+    manifest = {
+        "version": version,
+        "parent_version": mf.read_manifest(live).get("version") if mf.read_manifest(live) else None,
+        "kind": "incremental",
+        "stats": stats,
+        "metrics": {"total_sec": time.perf_counter() - t0},
+    }
+    mf.write_manifest(vdir, manifest)
+
+    docs_count = ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id"]
+    ).count()
+    if docs_count != n_docs:
+        raise RuntimeError(
+            f"verification failed: {docs_count} docs vs expected {n_docs}"
+        )
+    mf.switch_alias(index_root, version)
+    return manifest

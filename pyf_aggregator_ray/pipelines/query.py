@@ -178,6 +178,7 @@ def run_query_set(
     queries: list[tuple[int, str, int]] | None = None,
     cfg: EngineConfig | None = None,
     concurrency: int | tuple[int, int] = 2,
+    doc_weights: dict[int, float] | None = None,
 ) -> ray.data.Dataset:
     """Score a query set as a Ray pipeline (queries ds -> scorer actors)."""
     queries = queries or QUERY_SET
@@ -192,7 +193,7 @@ def run_query_set(
     )
     return qds.map_batches(
         ScorerStage,
-        fn_constructor_args=(index_path, cfg),
+        fn_constructor_args=(index_path, cfg, doc_weights),
         batch_format="pyarrow",
         batch_size=4,
         concurrency=concurrency,
@@ -263,21 +264,23 @@ def bm25_oracle_sql(
     values = ",\n    ".join(
         f"({qid}, {_sql_quote(q)}, {k})" for qid, q, k in queries
     )
-    weight_expr = (
-        "* (1.0 + {scale} * ln(rs.file_count))".format(scale=cfg.repo_weight_scale)
-        if weighted
-        else ""
-    )
-    weight_join = (
-        """
-  JOIN (SELECT repo, count(*)::BIGINT AS file_count
-        FROM corpus GROUP BY repo) rs
-    ON rs.repo = (SELECT c2.repo FROM corpus c2 WHERE c2.doc_id = tf.doc_id)"""
-        if weighted
-        else ""
-    )
+    if weighted:
+        # identical weight formula + application order as the engine:
+        # w = round6(1 + scale*ln(file_count)); score = sum(contribs) * w
+        w_expr = sql_round6(f"1.0 + {cfg.repo_weight_scale} * ln(file_count)")
+        weight_ctes = f"""
+rstats AS (SELECT repo, count(*)::BIGINT AS file_count FROM corpus GROUP BY repo),
+weights AS (SELECT repo, {w_expr} AS w FROM rstats),
+docw AS (
+  SELECT c.doc_id, w.w FROM corpus c JOIN weights w ON w.repo = c.repo
+),"""
+        weight_expr = "* dw.w"
+        weight_join = "\n  JOIN docw dw ON dw.doc_id = tf.doc_id"
+        weight_group = ", dw.w"
+    else:
+        weight_ctes, weight_expr, weight_join, weight_group = "", "", "", ""
     return f"""
-WITH corpus AS ({CORPUS_SQL}),
+WITH corpus AS ({CORPUS_SQL}),{weight_ctes}
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
   FROM corpus
@@ -308,7 +311,7 @@ scored AS (
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id{weight_join}
-  GROUP BY 1, 2, 3
+  GROUP BY 1, 2, 3{weight_group}
 ),
 ranked AS (
   SELECT query_id, k, doc_id, score,

@@ -158,3 +158,7 @@ _textpipes.register_all()
 from . import relational as _relational  # noqa: E402
 
 _relational.register_all()
+
+from . import enrichpipes as _enrichpipes  # noqa: E402
+
+_enrichpipes.register_all()

@@ -311,6 +311,42 @@ def ann_topk_lsh(sf_dir: str) -> pa.Table:
     return ann_stage.lsh_bucketed_topk(emb, ANN_QUERY_IDS, DEFAULT.ann_default_k)
 
 
+# ---------------------------------------------------------------------------
+# multimodal (deterministic fake codec; Ray plumbing real — rows-only checks,
+# pinned down in tests/test_multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def media_image_features(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.multimodal import ImageFeatureStage, synth_media_table
+
+    ids = [
+        t["doc_id"]
+        for t in ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).take_all()
+    ]
+    media = ray.data.from_arrow(synth_media_table(sorted(ids)))
+    return media.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.multimodal import FrameSampleStage, synth_media_table
+
+    ids = [
+        t["doc_id"]
+        for t in ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).take_all()
+    ]
+    media = ray.data.from_arrow(synth_media_table(sorted(ids)))
+    return media.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def register_all() -> None:
     from . import registry as r
 
@@ -324,3 +360,5 @@ def register_all() -> None:
     r.register("simhash_near_dup", simhash_pairs, None)
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
     r.register("ann_topk_lsh", ann_topk_lsh, None)
+    r.register("media_image_features", media_image_features, None)
+    r.register("media_frame_sample", media_frame_sample, None)

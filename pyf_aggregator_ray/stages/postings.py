@@ -179,8 +179,9 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
     last_arr = tbl["last_doc"].to_numpy(zero_copy_only=False)
 
     if len(multi) == 0:
-        out = tbl.drop_columns(["salt"])
-        return out
+        return tbl.drop_columns(
+            [c for c in ("salt",) if c in tbl.column_names]
+        ).select(merged_schema().names)
 
     gaps_col = tbl["gaps"]
     tfs_col = tbl["tfs"]

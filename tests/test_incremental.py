@@ -1,0 +1,73 @@
+"""Incremental build: delta merge must be byte-identical to a full
+rebuild over the union corpus; reruns are idempotent; cutover is atomic."""
+
+import os
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from pyf_aggregator_ray.config import EngineConfig
+from pyf_aggregator_ray.pipelines.build_index import build_index
+from pyf_aggregator_ray.pipelines.incremental import incremental_update
+from pyf_aggregator_ray.state import manifest as mf
+
+from test_index_build import load_postings
+
+
+def test_incremental_equals_full_build(tmp_path, synth_corpus_table, built_index):
+    root = str(tmp_path / "inc_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+
+    first = synth_corpus_table.slice(0, 200)
+    second = synth_corpus_table.slice(200)
+    build_index("", root, cfg, corpus=ray.data.from_arrow(first), num_parts=4)
+    v1 = mf.read_alias(root)
+    assert mf.read_stats(v1)["num_docs"] == 200
+
+    manifest = incremental_update(root, ray.data.from_arrow(second), cfg)
+    assert manifest["kind"] == "incremental"
+    v2 = mf.read_alias(root)
+    assert v2 != v1
+    assert mf.read_stats(v2)["num_docs"] == synth_corpus_table.num_rows
+
+    # postings identical (ids, tfs, dls AND stats) to the full build
+    full_root, _, _ = built_index
+    full = load_postings(full_root)
+    inc = load_postings(root)
+    assert set(full) == set(inc)
+    for term in full:
+        assert list(full[term][1]) == list(inc[term][1]), term
+        assert list(full[term][2]) == list(inc[term][2]), term
+        assert list(full[term][3]) == list(inc[term][3]), term
+        assert full[term][0]["df"] == inc[term][0]["df"]
+        assert full[term][0]["cf"] == inc[term][0]["cf"]
+    assert mf.read_stats(v2)["total_postings"] == mf.read_stats(
+        mf.read_alias(full_root)
+    )["total_postings"]
+
+    # docs meta complete, sha256 invariant preserved across the merge
+    docs = pq.read_table(os.path.join(v2, "docs"))
+    assert docs.num_rows == synth_corpus_table.num_rows
+
+    # idempotent rerun: re-sending already-indexed docs changes nothing
+    m2 = incremental_update(root, ray.data.from_arrow(second), cfg)
+    v3 = mf.read_alias(root)
+    assert m2["stats"]["num_docs"] == synth_corpus_table.num_rows
+    assert m2["stats"]["total_postings"] == manifest["stats"]["total_postings"]
+    assert mf.read_stats(v3)["vocab_size"] == mf.read_stats(v2)["vocab_size"]
+
+    # old versions remain on disk until GC (zero-downtime property)
+    assert os.path.isdir(v1)
+    removed = mf.gc_old_versions(root, keep=1)
+    assert removed and not os.path.isdir(v1)
+
+
+def test_incremental_requires_base(tmp_path, synth_corpus_table):
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no live index"):
+        incremental_update(
+            str(tmp_path / "empty_root"),
+            ray.data.from_arrow(synth_corpus_table),
+        )
