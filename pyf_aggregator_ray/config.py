@@ -32,9 +32,9 @@ class EngineConfig:
     # Width of one doc-id range shard for salting hot terms / resumable
     # partition builds. Group size is bounded by this many docs.
     salt_range_docs: int = 2_000
-    # Tokenize stage actor pool.
-    tokenize_batch_size: int = 512
-    tokenize_concurrency: int | tuple[int, int] = (2, 8)
+    # Tokenize stage actor pool. None -> autoscale (2, num_cluster_cpus).
+    tokenize_batch_size: int = 2048
+    tokenize_concurrency: int | tuple[int, int] | None = None
     # Target rows per output parquet file for postings segments.
     postings_rows_per_file: int = 200_000
 

@@ -69,10 +69,25 @@ class IndexReader:
         self.cfg = cfg or DEFAULT
         self.stats = mf.read_stats(self.vdir)
         self._postings = pads.dataset(os.path.join(self.vdir, "postings"))
-        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+        # term -> (doc_ids, per-doc BM25 contribution, df). Contributions
+        # are query-independent (idf * tf-norm), so they are computed once
+        # per term at load and reused by every query hitting this reader.
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
 
-    def lookup(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
-        """term -> (doc_ids, tfs, dls, df) for terms present in the index."""
+    def _contribution(
+        self, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, df: int
+    ) -> np.ndarray:
+        cfg = self.cfg
+        n = self.stats["num_docs"]
+        avgdl = self.stats["avgdl"]
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (
+            tfs * (cfg.k1 + 1.0)
+            / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / avgdl))
+        )
+
+    def lookup(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, int]]:
+        """term -> (doc_ids, contributions, df) for terms in the index."""
         missing = [t for t in terms if t not in self._cache]
         if missing:
             tbl = self._postings.to_table(
@@ -84,15 +99,17 @@ class IndexReader:
             for i in range(tbl.num_rows):
                 row = {c: tbl[c][i].as_py() for c in ("gaps", "tfs", "dls")}
                 ids, tfs, dls = decode_posting_row(row)
+                df = int(tbl["df"][i].as_py())
                 self._cache[tbl["term"][i].as_py()] = (
                     ids,
-                    tfs,
-                    dls,
-                    int(tbl["df"][i].as_py()),
+                    self._contribution(ids, tfs, dls, df),
+                    df,
                 )
             for t in missing:
-                self._cache.setdefault(t, (np.empty(0, np.int64),) * 3 + (0,))
-        return {t: self._cache[t] for t in terms if self._cache[t][3] > 0}
+                self._cache.setdefault(
+                    t, (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+                )
+        return {t: self._cache[t] for t in terms if self._cache[t][2] > 0}
 
     def score(
         self,
@@ -103,35 +120,47 @@ class IndexReader:
         """Exhaustive vectorized BM25 -> [(rank, doc_id, score)].
 
         Term-at-a-time accumulation in sorted-term order (deterministic
-        float summation). Tiebreak: score desc, doc_id asc.
+        float summation). Tiebreak: score desc, doc_id asc. Accumulation
+        is dense (np.bincount over the doc-id space) when candidate
+        volume is large, sparse (sort-based) for rare terms — identical
+        per-document addition order either way.
         """
         cfg = self.cfg
         n = self.stats["num_docs"]
-        avgdl = self.stats["avgdl"]
         k = k if k is not None else cfg.default_k
         terms = tokenize_query(query)
         found = self.lookup(terms)
         if not found or n == 0:
             return []
-        all_ids, all_contrib = [], []
-        for t in sorted(found):
-            ids, tfs, dls, df = found[t]
-            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
-            tfn = (
-                tfs * (cfg.k1 + 1.0)
-                / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / avgdl))
-            )
-            all_ids.append(ids)
-            all_contrib.append(idf * tfn)
-        ids_cat = np.concatenate(all_ids)
-        contrib_cat = np.concatenate(all_contrib)
-        uniq, inv = np.unique(ids_cat, return_inverse=True)
-        scores = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(scores, inv, contrib_cat)
+        parts = [found[t] for t in sorted(found)]
+        total_postings = sum(len(p[0]) for p in parts)
+        max_id = max(int(p[0][-1]) for p in parts)  # posting lists are sorted
+
+        if total_postings * 4 >= max_id:
+            # dense: one float per doc id; bincount per term, accumulated
+            # in sorted-term order (same per-doc addition order as sparse)
+            dense = np.zeros(max_id + 1, dtype=np.float64)
+            for ids, contrib, _ in parts:
+                dense += np.bincount(ids, weights=contrib, minlength=max_id + 1)
+            uniq = np.flatnonzero(dense)
+            scores = dense[uniq]
+        else:
+            ids_cat = np.concatenate([p[0] for p in parts])
+            contrib_cat = np.concatenate([p[1] for p in parts])
+            uniq, inv = np.unique(ids_cat, return_inverse=True)
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, inv, contrib_cat)
         if doc_weights:
             w = np.array([doc_weights.get(int(d), 1.0) for d in uniq])
             scores *= w
-        order = np.lexsort((uniq, -scores))[:k]
+        if k < len(uniq):
+            # select everything >= the k-th score (ties included), then
+            # sort that small set with the doc_id tiebreak
+            kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+            cand = np.flatnonzero(scores >= kth)
+            order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
+        else:
+            order = np.lexsort((uniq, -scores))[:k]
         return [
             (rank + 1, int(uniq[i]), float(scores[i]))
             for rank, i in enumerate(order)

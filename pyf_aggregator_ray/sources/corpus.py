@@ -89,7 +89,23 @@ def derive_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_corpus(sf_dir: str, *, with_sha256: bool = False) -> ray.data.Dataset:
+def _default_blocks() -> int | None:
+    """Split single-file reads into ~2 blocks per CPU so map stages get
+    parallelism even from one parquet file (at the 10^12-file design point
+    the input is already thousands of fragments and this is a no-op)."""
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+
+
+def read_corpus(
+    sf_dir: str,
+    *,
+    with_sha256: bool = False,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
     """Read ``{sf_dir}/documents.parquet`` and derive the corpus Dataset.
 
     Column pruning happens at the read (only the 4 needed columns leave
@@ -99,6 +115,7 @@ def read_corpus(sf_dir: str, *, with_sha256: bool = False) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks or _default_blocks(),
     )
     ds = ds.map_batches(derive_batch, batch_format="pyarrow")
     if with_sha256:
@@ -107,6 +124,43 @@ def read_corpus(sf_dir: str, *, with_sha256: bool = False) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     return ds
+
+
+def read_corpus_amplified(sf_dir: str, factor: int) -> ray.data.Dataset:
+    """Deterministically amplify the corpus ``factor``x for throughput /
+    scaling benchmarks: replica k re-derives every document with
+    ``doc_id + k*N`` (distinct ids, paths, commits; identical content).
+    Same input for every parallelism level -> a fair scaling comparison.
+
+    Replication happens INSIDE map_batches (one read, blocks stay large);
+    a union of ``factor`` re-reads would fragment the dataset into
+    thousands of tiny blocks whose per-task overhead dominates wall time.
+    """
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def amplify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        replicas = []
+        for k in range(factor):
+            replicas.append(
+                t.set_column(
+                    t.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(ids + k * n, type=pa.int64()),
+                )
+            )
+        return pa.concat_tables(replicas)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=_default_blocks(),
+    )
+    return ds.map_batches(amplify, batch_format="pyarrow").map_batches(
+        derive_batch, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

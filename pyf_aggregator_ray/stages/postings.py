@@ -200,29 +200,54 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
             o_tfs.append(tfs_col[s].as_py())
             o_dls.append(dls_col[s].as_py())
             continue
-        gaps_parts, tfs_parts, dls_parts = [], [], []
-        prev_last = None
-        for i in range(s, e):
-            g = gaps_col[i].as_py()
-            if prev_last is None:
-                gaps_parts.append(g)
-            else:
-                first_doc = int(first_arr[i])
-                if first_doc <= prev_last:
-                    raise ValueError(
-                        f"overlapping shards for term {terms[s]!r}: "
-                        f"{first_doc} <= {prev_last}"
+        disjoint = all(
+            int(first_arr[i]) > int(last_arr[i - 1]) for i in range(s + 1, e)
+        )
+        if disjoint:
+            # fast path: shards are disjoint doc-id intervals (range
+            # salting / aligned segments) -> ordered concat, rewriting
+            # only each non-initial shard's first varint to a delta
+            gaps_parts, tfs_parts, dls_parts = [], [], []
+            prev_last = None
+            for i in range(s, e):
+                g = gaps_col[i].as_py()
+                if prev_last is None:
+                    gaps_parts.append(g)
+                else:
+                    first_doc = int(first_arr[i])
+                    skip = _varint_len_of_first(memoryview(g))
+                    gaps_parts.append(
+                        encode_varint(np.array([first_doc - prev_last])) + g[skip:]
                     )
-                skip = _varint_len_of_first(memoryview(g))
-                gaps_parts.append(
-                    encode_varint(np.array([first_doc - prev_last])) + g[skip:]
+                prev_last = int(last_arr[i])
+                tfs_parts.append(tfs_col[i].as_py())
+                dls_parts.append(dls_col[i].as_py())
+            o_gaps.append(b"".join(gaps_parts))
+            o_tfs.append(b"".join(tfs_parts))
+            o_dls.append(b"".join(dls_parts))
+        else:
+            # slow path: interleaved intervals (e.g. strided doc-id
+            # layouts) -> decode, merge-sort, re-encode. Doc SETS must
+            # still be disjoint; a duplicate doc id means a build bug.
+            ids_l, tfs_l, dls_l = [], [], []
+            for i in range(s, e):
+                ids_i = np.cumsum(decode_varint(gaps_col[i].as_py()), dtype=np.uint64)
+                ids_l.append(ids_i)
+                tfs_l.append(decode_varint(tfs_col[i].as_py()))
+                dls_l.append(decode_varint(dls_col[i].as_py()))
+            ids = np.concatenate(ids_l)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            if len(ids) > 1 and not np.all(np.diff(ids.astype(np.int64)) > 0):
+                raise ValueError(
+                    f"duplicate doc ids across shards for term {terms[s]!r}"
                 )
-            prev_last = int(last_arr[i])
-            tfs_parts.append(tfs_col[i].as_py())
-            dls_parts.append(dls_col[i].as_py())
-        o_gaps.append(b"".join(gaps_parts))
-        o_tfs.append(b"".join(tfs_parts))
-        o_dls.append(b"".join(dls_parts))
+            gaps = np.empty_like(ids)
+            gaps[0] = ids[0]
+            np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+            o_gaps.append(encode_varint(gaps))
+            o_tfs.append(encode_varint(np.concatenate(tfs_l)[order]))
+            o_dls.append(encode_varint(np.concatenate(dls_l)[order]))
     return pa.table(
         {
             "term": pa.array(o_term, type=pa.string()),

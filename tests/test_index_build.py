@@ -136,6 +136,91 @@ def test_resumable_build_identical_postings(
     assert os.path.getmtime(marker) == before
 
 
+def test_term_shuffle_strategy_identical(tmp_path, synth_corpus_table, built_index):
+    """The explicit groupby(term) shuffle path and the default segment
+    path must produce identical posting lists."""
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+
+    root = str(tmp_path / "shuffle_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    corpus = ray.data.from_arrow(synth_corpus_table)
+    m = build_index(
+        "", root, cfg, corpus=corpus, num_parts=4, strategy="term_shuffle"
+    )
+    assert m["metrics"]["num_hot_terms"] > 0  # hot set actually detected
+    seg = load_postings(built_index[0])
+    shuf = load_postings(root)
+    assert set(seg) == set(shuf)
+    for term in seg:
+        assert list(seg[term][1]) == list(shuf[term][1]), term
+        assert list(seg[term][2]) == list(shuf[term][2]), term
+        assert list(seg[term][3]) == list(shuf[term][3]), term
+
+
+def test_merge_interleaved_shards():
+    """Strided doc-id layouts make shard intervals interleave — the merge
+    must fall back to decode-merge-reencode and stay exact."""
+    import pyarrow as pa
+
+    from pyf_aggregator_ray.functions.varint import encode_varint, delta_encode
+    from pyf_aggregator_ray.stages.postings import decode_posting_row, merge_partition
+
+    def shard(ids, tfs, dls):
+        ids = np.array(ids, dtype=np.uint64)
+        return {
+            "df": len(ids),
+            "cf": int(sum(tfs)),
+            "first_doc": int(ids[0]),
+            "last_doc": int(ids[-1]),
+            "gaps": encode_varint(delta_encode(ids)),
+            "tfs": encode_varint(np.array(tfs, dtype=np.uint64)),
+            "dls": encode_varint(np.array(dls, dtype=np.uint64)),
+        }
+
+    s1 = shard([1, 5, 100], [1, 2, 3], [10, 10, 10])
+    s2 = shard([3, 7, 50], [4, 5, 6], [20, 20, 20])  # interleaves with s1
+    tbl = pa.table(
+        {
+            "term": ["x", "x"],
+            "salt": [0, 1],
+            "df": [s1["df"], s2["df"]],
+            "cf": [s1["cf"], s2["cf"]],
+            "first_doc": [s1["first_doc"], s2["first_doc"]],
+            "last_doc": [s1["last_doc"], s2["last_doc"]],
+            "gaps": pa.array([s1["gaps"], s2["gaps"]], type=pa.large_binary()),
+            "tfs": pa.array([s1["tfs"], s2["tfs"]], type=pa.large_binary()),
+            "dls": pa.array([s1["dls"], s2["dls"]], type=pa.large_binary()),
+        }
+    )
+    out = merge_partition(tbl)
+    assert out.num_rows == 1
+    row = {c: out[c][0].as_py() for c in out.column_names}
+    ids, tfs, dls = decode_posting_row(row)
+    assert list(ids) == [1, 3, 5, 7, 50, 100]
+    assert list(tfs) == [1, 4, 2, 5, 6, 3]
+    assert list(dls) == [10, 20, 10, 20, 20, 10]
+    assert row["df"] == 6 and row["cf"] == 21
+
+    # duplicate doc ids across shards = build bug -> raises
+    s3 = shard([1, 9], [7, 8], [5, 5])
+    bad = pa.table(
+        {
+            "term": ["x", "x"],
+            "salt": [0, 1],
+            "df": [s1["df"], s3["df"]],
+            "cf": [s1["cf"], s3["cf"]],
+            "first_doc": [s1["first_doc"], s3["first_doc"]],
+            "last_doc": [s1["last_doc"], s3["last_doc"]],
+            "gaps": pa.array([s1["gaps"], s3["gaps"]], type=pa.large_binary()),
+            "tfs": pa.array([s1["tfs"], s3["tfs"]], type=pa.large_binary()),
+            "dls": pa.array([s1["dls"], s3["dls"]], type=pa.large_binary()),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate doc ids"):
+        merge_partition(bad)
+
+
 def test_manifest_lineage(built_index):
     root, _, manifest = built_index
     vdir = mf.read_alias(root)
