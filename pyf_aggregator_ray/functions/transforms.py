@@ -1,0 +1,283 @@
+"""Package-metadata transform family (reference plugin-chain semantics).
+
+Reimplements, from behavior, the reference's per-document transforms over
+markdown-ish package metadata:
+
+* description splitting into weighted search fields title / first_chapter
+  / main_content / changelog (``/root/reference/src/pyf/aggregator/
+  plugins/description_splitter.py:129-291``; changelog-heading patterns
+  :27-36; link/image stripping :103-126) — operating on markdown headings
+  rather than rendered HTML (our corpus is text, the reference renders
+  rst/md to HTML first, ``plugins/rst_to_html.py:10-85``)
+* classifier extractors: framework_versions and python_versions
+  (``plugins/framwork_versions.py:4-21``, ``plugins/python_versions.py``)
+* repo-identifier extraction from the 5 URL shapes + reserved-owner
+  blacklist (``enrichers/github.py:52-113``) and git-URL -> https
+  normalization (``npm_fetcher.py:580-616``)
+* ``clean_data`` null normalization: None list fields -> [], None
+  timestamps -> 0, other None -> "", keyword string split on ``[,\\s]+``
+  (``indexer.py:8-37``)
+* a health score with fixed sub-score buckets in the reference's shape:
+  recency + docs + metadata, capped at 100 (``plugins/health_score.py``,
+  ``enrichers/health_calculator.py:104-223``) — thresholds here are OUR
+  contract (golden-tested), not a numeric copy.
+
+All are pure scalar/batch functions usable inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import re
+
+CHANGELOG_HEADING_RE = re.compile(
+    r"^(changelog|history|changes|release\s*notes|what'?s\s*new|versions?)$",
+    re.IGNORECASE,
+)
+
+_MD_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_MD_LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_MD_IMAGE_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+
+
+def strip_links_and_images(text: str) -> str:
+    """Remove markdown images entirely, keep link text (reference strips
+    <a>/<img> from first_chapter)."""
+    text = _MD_IMAGE_RE.sub("", text)
+    return _MD_LINK_RE.sub(r"\1", text)
+
+
+def split_description(markdown: str | None, summary: str = "") -> dict[str, str]:
+    """Split a markdown document into the reference's weighted fields.
+
+    title          = text of the first heading
+    first_chapter  = summary + content up to the second heading
+                     (links/images stripped); everything if no headings
+    main_content   = from the second heading up to the changelog heading
+    changelog      = from the first changelog-matching heading onward
+    """
+    out = {"title": "", "first_chapter": "", "main_content": "", "changelog": ""}
+    if not markdown:
+        out["first_chapter"] = strip_links_and_images(summary or "")
+        return out
+    lines = markdown.splitlines()
+    headings: list[tuple[int, str]] = []  # (line_idx, heading_text)
+    for i, line in enumerate(lines):
+        m = _MD_HEADING_RE.match(line)
+        if m:
+            headings.append((i, m.group(2)))
+
+    def block(a: int, b: int | None) -> str:
+        return "\n".join(lines[a:b]).strip()
+
+    if not headings:
+        out["first_chapter"] = strip_links_and_images(
+            (summary + "\n" if summary else "") + markdown
+        ).strip()
+        return out
+
+    out["title"] = headings[0][1]
+    changelog_pos = next(
+        (i for i, (_, text) in enumerate(headings) if CHANGELOG_HEADING_RE.match(text)),
+        None,
+    )
+    second = headings[1][0] if len(headings) > 1 else None
+    first_chapter = block(0, second)
+    out["first_chapter"] = strip_links_and_images(
+        ((summary + "\n") if summary else "") + first_chapter
+    ).strip()
+    if changelog_pos is not None:
+        cl_line = headings[changelog_pos][0]
+        out["changelog"] = block(cl_line, None)
+        if second is not None and second < cl_line:
+            out["main_content"] = block(second, cl_line)
+    elif second is not None:
+        out["main_content"] = block(second, None)
+    return out
+
+
+_FRAMEWORK_RE = re.compile(
+    r"^Framework :: (?P<framework>\w+.*) :: (?P<version>\d+.*)$", re.IGNORECASE
+)
+_PYVER_RE = re.compile(
+    r"^Programming Language :: Python :: (?P<version>\d+(\.\d+)*)$", re.IGNORECASE
+)
+
+
+def framework_versions(classifiers: list[str] | None) -> list[str]:
+    out = []
+    for cf in classifiers or []:
+        m = _FRAMEWORK_RE.search(cf)
+        if m:
+            out.append(f"{m.group('framework')} {m.group('version')}")
+    return out
+
+
+def python_versions(classifiers: list[str] | None) -> list[str]:
+    out = []
+    for cf in classifiers or []:
+        m = _PYVER_RE.search(cf)
+        if m:
+            out.append(m.group("version"))
+    return out
+
+
+def has_classifier_prefix(classifiers: list[str] | None, prefixes: list[str]) -> bool:
+    """Keep a doc iff ANY classifier starts with ANY filter prefix
+    (reference ``fetcher.py:582-602``)."""
+    for cf in classifiers or []:
+        for p in prefixes:
+            if cf.startswith(p):
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# repo URL extraction / normalization
+# ---------------------------------------------------------------------------
+
+_GH_HTTP = re.compile(r"^(?:http[s]?://|www\.)github\.com/(.+?/.+)", re.IGNORECASE)
+_GH_GIT = re.compile(r"^git://github\.com/([^/]+/[^/]+?)(?:\.git)?$")
+_GH_GIT_HTTPS = re.compile(r"^git\+https://github\.com/([^/]+/[^/]+?)(?:\.git)?$")
+_GH_GIT_SSH = re.compile(r"^git\+ssh://git@github\.com[:/]([^/]+/[^/]+?)(?:\.git)?$")
+_GH_SSH = re.compile(r"^git@github\.com[:/]([^/]+/[^/]+?)(?:\.git)?$")
+
+RESERVED_OWNERS = frozenset(
+    {"about", "apps", "collections", "marketplace", "orgs", "settings",
+     "sponsors", "topics"}
+)
+
+
+def extract_repo_identifier(url: str | None) -> str | None:
+    """URL -> 'owner/repo' or None; handles the 5 URL shapes, strips
+    query/fragment/.git and trailing path segments, rejects reserved
+    owners and malformed paths."""
+    if not url:
+        return None
+    url = url.strip()
+    path = None
+    for rx in (_GH_GIT_HTTPS, _GH_GIT_SSH, _GH_GIT, _GH_SSH, _GH_HTTP):
+        m = rx.match(url)
+        if m:
+            path = m.group(1)
+            break
+    if path is None:
+        return None
+    path = path.split("#", 1)[0].split("?", 1)[0]
+    parts = [p for p in path.split("/") if p]
+    if len(parts) < 2:
+        return None
+    owner, repo = parts[0], parts[1]
+    if repo.endswith(".git"):
+        repo = repo[: -len(".git")]
+    if owner.lower() in RESERVED_OWNERS or not owner or not repo:
+        return None
+    return f"{owner}/{repo}"
+
+
+def normalize_git_url(url: str | None) -> str | None:
+    """git+/git:///ssh git URL -> canonical https URL, '.git' stripped
+    (reference ``npm_fetcher.py:580-616``)."""
+    if not url:
+        return None
+    url = url.strip()
+    for prefix in ("git+https://", "git+http://"):
+        if url.startswith(prefix):
+            url = "https://" + url[len(prefix):]
+            break
+    if url.startswith("git://"):
+        url = "https://" + url[len("git://"):]
+    m = re.match(r"^(?:ssh://)?git@([^:/]+)[:/](.+)$", url)
+    if m:
+        url = f"https://{m.group(1)}/{m.group(2)}"
+    if url.endswith(".git"):
+        url = url[: -len(".git")]
+    return url
+
+
+# ---------------------------------------------------------------------------
+# clean_data normalization
+# ---------------------------------------------------------------------------
+
+LIST_FIELDS = ("classifiers", "keywords", "requires_dist", "framework_versions",
+               "python_versions")
+TIMESTAMP_FIELDS = ("upload_timestamp",)
+_KEYWORD_SPLIT_RE = re.compile(r"[,\s]+")
+
+
+def clean_data(doc: dict) -> dict:
+    """Null normalization with the reference's rules (``indexer.py:8-37``):
+    None list fields -> [], keyword STRING -> list split on [,\\s]+,
+    None timestamps -> 0 (sorts to the bottom descending), other None -> '',
+    default registry 'pypi'."""
+    out = dict(doc)
+    for k in LIST_FIELDS:
+        if k in out and out[k] is None:
+            out[k] = []
+    kw = out.get("keywords")
+    if isinstance(kw, str):
+        out["keywords"] = [w for w in _KEYWORD_SPLIT_RE.split(kw) if w]
+    for k in TIMESTAMP_FIELDS:
+        if k in out and out[k] is None:
+            out[k] = 0
+    for k, v in out.items():
+        if v is None:
+            out[k] = ""
+    out.setdefault("registry", "pypi")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# health score (reference-shaped: recency + docs + metadata, cap 100)
+# ---------------------------------------------------------------------------
+
+SECONDS_PER_DAY = 86_400
+
+
+def health_score(doc: dict, now_ts: int) -> dict:
+    """Deterministic composite health score in [0, 100] with a structured
+    breakdown (reference shape: recency 0-40, docs 0-30, metadata 0-30,
+    capped — ``health_calculator.py:104-223``). ``now_ts`` must be passed
+    in (no wall clock: determinism requirement)."""
+    ts = doc.get("upload_timestamp") or 0
+    age_days = max(0, (now_ts - ts) / SECONDS_PER_DAY) if ts else None
+    if age_days is None:
+        recency = 0
+    elif age_days <= 30:
+        recency = 40
+    elif age_days <= 180:
+        recency = 30
+    elif age_days <= 365:
+        recency = 20
+    elif age_days <= 730:
+        recency = 10
+    else:
+        recency = 0
+
+    desc = doc.get("description") or ""
+    words = len(re.findall(r"\w+", desc))
+    if words >= 500:
+        docs_score = 30
+    elif words >= 150:
+        docs_score = 20
+    elif words >= 50:
+        docs_score = 10
+    else:
+        docs_score = 0
+
+    meta = 0
+    if doc.get("summary"):
+        meta += 10
+    if doc.get("license"):
+        meta += 10
+    if doc.get("author") or doc.get("maintainer"):
+        meta += 5
+    if doc.get("classifiers"):
+        meta += 5
+
+    total = min(100, recency + docs_score + meta)
+    return {
+        "health_score": total,
+        "health_recency": recency,
+        "health_docs": docs_score,
+        "health_metadata": meta,
+    }

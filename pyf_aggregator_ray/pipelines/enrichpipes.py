@@ -74,9 +74,29 @@ def weighted_bm25_oracle_sql() -> str:
     return q.bm25_oracle_sql(weighted=True)
 
 
+def package_transform(sf_dir: str):
+    """Full package-metadata plugin chain over the deterministic fixture
+    (clean -> version_slicer -> classifier extracts -> description
+    splitter -> repo identifier -> health score). Rows-only driver check;
+    semantics pinned by tests/test_transforms.py golden assertions."""
+    import ray.data
+
+    from ..sources.packages import synth_packages
+    from ..stages.package_chain import PackageChain, validate_required
+
+    ds = ray.data.from_arrow(synth_packages(24)).map_batches(
+        PackageChain, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).map_batches(validate_required, batch_format="pyarrow")
+    return ds.select_columns(
+        ["name", "version", "version_sortable", "title", "repo_identifier",
+         "health_score", "registry"]
+    )
+
+
 def register_all() -> None:
     from . import registry as r
 
+    r.register("package_transform", package_transform, None)
     r.register("enrich_repo_stats", enrich_repo_stats, REPO_STATS_SQL)
     r.register("enrich_lang_stats", enrich_lang_stats, LANG_STATS_SQL)
     r.register("doc_weights", doc_weights, DOC_WEIGHTS_SQL)

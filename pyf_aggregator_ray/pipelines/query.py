@@ -166,6 +166,74 @@ class IndexReader:
             for rank, i in enumerate(order)
         ]
 
+    def score_maxscore(
+        self, query: str, k: int | None = None
+    ) -> list[tuple[int, int, float]]:
+        """Top-k with MaxScore pruning (the TAAT cousin of block-max WAND,
+        north_star's upper-bound skipping over compressed postings).
+
+        Terms are accumulated in descending order of their maximum
+        per-document contribution (cached at posting load). Once the
+        remaining terms' upper-bound sum R drops below the current k-th
+        partial score θ, no unseen document can enter the top-k, and
+        accumulation narrows to the surviving candidate set (binary-search
+        intersection against each remaining posting list). Partial scores
+        are lower bounds of final scores, so pruning with strict
+        ``score + R < θ`` is exact — results are rank- AND score-identical
+        to :meth:`score` (asserted in tests).
+        """
+        cfg = self.cfg
+        n = self.stats["num_docs"]
+        k = k if k is not None else cfg.default_k
+        terms = tokenize_query(query)
+        found = self.lookup(terms)
+        if not found or n == 0:
+            return []
+        # sort by upper bound desc; tiebreak term asc for determinism
+        items = sorted(
+            found.items(),
+            key=lambda kv: (-float(kv[1][1].max()) if len(kv[1][1]) else 0.0, kv[0]),
+        )
+        ubs = np.array(
+            [float(c.max()) if len(c) else 0.0 for _, (_, c, _) in items]
+        )
+        acc: dict[int, float] = {}
+        cand_ids: np.ndarray | None = None  # narrowed candidate set
+        for i, (_t, (ids, contrib, _df)) in enumerate(items):
+            if cand_ids is None:
+                for d, c in zip(ids.tolist(), contrib.tolist()):
+                    acc[d] = acc.get(d, 0.0) + c
+            else:
+                pos = np.searchsorted(ids, cand_ids)
+                valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand_ids)
+                for d, p in zip(cand_ids[valid].tolist(), pos[valid].tolist()):
+                    acc[d] += float(contrib[p])
+            remaining = float(ubs[i + 1 :].sum())
+            if remaining == 0.0:
+                break
+            if len(acc) >= k:
+                theta = sorted(acc.values(), reverse=True)[k - 1]
+                if remaining < theta:
+                    keep = [d for d, s in acc.items() if s + remaining >= theta]
+                    cand_ids = np.array(sorted(keep), dtype=np.int64)
+                    acc = {d: acc[d] for d in keep}
+        # Re-accumulate survivors in sorted-term order so float summation
+        # is bit-identical to the exhaustive scorer (ub-order accumulation
+        # differs by ~1 ulp, enough to flip round6 boundaries).
+        cand = np.array(sorted(acc), dtype=np.int64)
+        exact = np.zeros(len(cand), dtype=np.float64)
+        for t in sorted(found):
+            ids, contrib, _ = found[t]
+            pos = np.searchsorted(ids, cand)
+            valid = (pos < len(ids)) & (
+                ids[np.minimum(pos, len(ids) - 1)] == cand
+            )
+            exact[valid] += contrib[pos[valid]]
+        order = np.lexsort((cand, -exact))[:k]
+        return [
+            (r + 1, int(cand[i]), float(exact[i])) for r, i in enumerate(order)
+        ]
+
 
 class ScorerStage:
     """Actor-pool stage: batches of (query_id, query, k) -> top-k rows.

@@ -1,0 +1,104 @@
+"""Plugin-chain stage: the reference's user-extension surface (§2.11).
+
+The reference composes per-document transforms as an ordered module-level
+list, idempotently slice-assigned so long-lived workers don't stack it
+(``/root/reference/src/pyf/aggregator/plugins/__init__.py:12-27``), and
+every write path must run the chain or the sink rejects documents
+(``queue.py:104-117``). Here:
+
+* a *plugin* is ``name -> callable(doc_dict) -> None|dict`` (mutating or
+  returning the doc)
+* ``PackageChain`` composes the ordered list ONCE per actor and applies
+  it per batch inside ``map_batches`` (rows through the chain as dicts —
+  package metadata is the small side of the system; the code corpus
+  never takes this path)
+* ``validate_required`` enforces the sink contract before indexing
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from ..functions import transforms as tf
+from ..functions.versions import version_parts, version_sortable
+
+Plugin = Callable[[dict], dict | None]
+
+REQUIRED_COLUMNS = ("name", "version", "registry", "version_sortable")
+
+NOW_TS = 1_700_000_000  # fixed evaluation timestamp (determinism: no wall clock)
+
+
+def plugin_clean(doc: dict) -> dict:
+    return tf.clean_data(doc)
+
+
+def plugin_version_slicer(doc: dict) -> None:
+    major, minor, bugfix, postfix = version_parts(doc.get("version"))
+    doc["version_major"] = major
+    doc["version_minor"] = minor
+    doc["version_bugfix"] = bugfix
+    doc["version_postfix"] = postfix
+    doc["version_sortable"] = version_sortable(doc.get("version"))
+
+
+def plugin_classifier_extracts(doc: dict) -> None:
+    doc["framework_versions"] = tf.framework_versions(doc.get("classifiers"))
+    doc["python_versions"] = tf.python_versions(doc.get("classifiers"))
+
+
+def plugin_description_splitter(doc: dict) -> None:
+    fields = tf.split_description(doc.get("description"), doc.get("summary") or "")
+    doc.update(fields)
+
+
+def plugin_repo_identifier(doc: dict) -> None:
+    url = tf.normalize_git_url(doc.get("home_page"))
+    doc["repo_url"] = url or ""
+    doc["repo_identifier"] = tf.extract_repo_identifier(doc.get("home_page")) or ""
+
+
+def plugin_health_score(doc: dict) -> None:
+    doc.update(tf.health_score(doc, NOW_TS))
+
+
+DEFAULT_CHAIN: list[tuple[str, Plugin]] = [
+    ("clean", plugin_clean),
+    ("version_slicer", plugin_version_slicer),
+    ("classifier_extracts", plugin_classifier_extracts),
+    ("description_splitter", plugin_description_splitter),
+    ("repo_identifier", plugin_repo_identifier),
+    ("health_score", plugin_health_score),
+]
+
+
+class PackageChain:
+    """Actor-pool stage applying the ordered plugin chain per batch."""
+
+    def __init__(self, chain: list[tuple[str, Plugin]] | None = None):
+        # composed once per actor — the reference's idempotent
+        # registration pattern (slice assignment, plugins/__init__.py:21)
+        self.chain = list(chain) if chain is not None else list(DEFAULT_CHAIN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch.to_pylist()
+        out = []
+        for doc in docs:
+            for _, plugin in self.chain:
+                res = plugin(doc)
+                if res is not None:
+                    doc = res
+            out.append(doc)
+        return pa.Table.from_pylist(out)
+
+
+def validate_required(batch: pa.Table) -> pa.Table:
+    """Sink contract: reject batches missing chain-produced columns
+    (reference: un-chained documents are rejected by the schema)."""
+    missing = [c for c in REQUIRED_COLUMNS if c not in batch.column_names]
+    if missing:
+        raise ValueError(f"documents missing required columns {missing}; "
+                         "was the plugin chain applied?")
+    return batch

@@ -34,6 +34,22 @@ def test_rank_identity_vs_naive(built_index, synth_corpus_table):
             assert s1 == pytest.approx(s2, abs=1e-9), query
 
 
+def test_maxscore_identical_to_exhaustive(built_index):
+    """MaxScore pruning must be rank- AND score-identical to the
+    exhaustive scorer (exactness of the upper-bound pruning)."""
+    root, cfg, _ = built_index
+    reader = IndexReader(root, cfg)
+    for query, k in TEST_QUERIES:
+        exhaustive = reader.score(query, k)
+        pruned = reader.score_maxscore(query, k)
+        assert pruned == exhaustive, query
+    # k=1 aggressive pruning and k bigger than corpus
+    assert reader.score_maxscore("import", 1) == reader.score("import", 1)
+    assert reader.score_maxscore("rare50_1 import", 10_000) == reader.score(
+        "rare50_1 import", 10_000
+    )
+
+
 def test_deterministic_tiebreak(built_index, synth_corpus_table):
     """Docs with identical score must rank by doc_id ascending."""
     root, cfg, _ = built_index

@@ -1,0 +1,192 @@
+"""Package-metadata transform family: splitter, extractors, URL handling,
+clean_data, health score, and the composed plugin chain."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pyf_aggregator_ray.functions import transforms as tf
+from pyf_aggregator_ray.sources.packages import synth_packages
+from pyf_aggregator_ray.stages.package_chain import (
+    NOW_TS,
+    PackageChain,
+    validate_required,
+)
+
+MD = """# MyPkg
+
+Intro with a [link](https://x.example) and ![img](https://b.example/i.png).
+
+## Usage
+
+Call the functions.
+
+## Changelog
+
+- 1.0 first
+"""
+
+
+class TestSplitDescription:
+    def test_full_shape(self):
+        out = tf.split_description(MD, summary="Short summary")
+        assert out["title"] == "MyPkg"
+        assert "Short summary" in out["first_chapter"]
+        assert "Intro with a link" in out["first_chapter"]  # link text kept
+        assert "https://x.example" not in out["first_chapter"]  # url stripped
+        assert "img" not in out["first_chapter"]  # image removed entirely
+        assert out["main_content"].startswith("## Usage")
+        assert out["changelog"].startswith("## Changelog")
+        assert "- 1.0 first" in out["changelog"]
+
+    def test_no_headings(self):
+        out = tf.split_description("just plain words", summary="s")
+        assert out["title"] == ""
+        assert out["first_chapter"] == "s\njust plain words"
+        assert out["main_content"] == "" and out["changelog"] == ""
+
+    def test_none_description(self):
+        out = tf.split_description(None, summary="only summary")
+        assert out["first_chapter"] == "only summary"
+
+    @pytest.mark.parametrize(
+        "heading", ["Changelog", "HISTORY", "Changes", "Release Notes", "What's New", "Versions"]
+    )
+    def test_changelog_heading_variants(self, heading):
+        md = f"# T\n\nbody\n\n## {heading}\n\n- entry"
+        out = tf.split_description(md)
+        assert out["changelog"].startswith(f"## {heading}")
+
+
+class TestExtractors:
+    def test_framework_versions(self):
+        cls = ["Framework :: Plone :: 6.0", "Framework :: Django", "Other :: X :: 1"]
+        assert tf.framework_versions(cls) == ["Plone 6.0"]
+
+    def test_python_versions(self):
+        cls = [
+            "Programming Language :: Python :: 3.11",
+            "Programming Language :: Python :: 3",
+            "Programming Language :: Python",
+        ]
+        assert tf.python_versions(cls) == ["3.11", "3"]
+
+    def test_classifier_prefix_predicate(self):
+        assert tf.has_classifier_prefix(["Framework :: Plone :: 6.0"], ["Framework :: Plone"])
+        assert not tf.has_classifier_prefix(["Framework :: Django"], ["Framework :: Plone"])
+        assert not tf.has_classifier_prefix(None, ["X"])
+
+
+class TestRepoUrls:
+    @pytest.mark.parametrize(
+        "url,expected",
+        [
+            ("https://github.com/plone/plone.api", "plone/plone.api"),
+            ("http://github.com/psf/requests/tree/main", "psf/requests"),
+            ("www.github.com/psf/requests", "psf/requests"),
+            ("git://github.com/owner/repo.git", "owner/repo"),
+            ("git+https://github.com/owner/repo.git", "owner/repo"),
+            ("git+ssh://git@github.com/owner/repo.git", "owner/repo"),
+            ("git@github.com:owner/repo.git", "owner/repo"),
+            ("https://github.com/plone/plone.api#readme", "plone/plone.api"),
+            ("https://github.com/plone/plone.api?tab=readme", "plone/plone.api"),
+            ("https://github.com/topics/python", None),  # reserved owner
+            ("https://gitlab.com/owner/repo", None),
+            ("not a url", None),
+            (None, None),
+            ("https://github.com/onlyowner", None),
+        ],
+    )
+    def test_extract(self, url, expected):
+        assert tf.extract_repo_identifier(url) == expected
+
+    @pytest.mark.parametrize(
+        "url,expected",
+        [
+            ("git+https://github.com/o/r.git", "https://github.com/o/r"),
+            ("git://github.com/o/r.git", "https://github.com/o/r"),
+            ("ssh://git@github.com/o/r.git", "https://github.com/o/r"),
+            ("git@github.com:o/r.git", "https://github.com/o/r"),
+            ("https://github.com/o/r", "https://github.com/o/r"),
+            (None, None),
+        ],
+    )
+    def test_normalize(self, url, expected):
+        assert tf.normalize_git_url(url) == expected
+
+
+class TestCleanData:
+    def test_rules(self):
+        doc = {
+            "name": "x",
+            "classifiers": None,
+            "keywords": "web, plone  cms",
+            "upload_timestamp": None,
+            "summary": None,
+        }
+        out = tf.clean_data(doc)
+        assert out["classifiers"] == []
+        assert out["keywords"] == ["web", "plone", "cms"]
+        assert out["upload_timestamp"] == 0
+        assert out["summary"] == ""
+        assert out["registry"] == "pypi"
+
+
+class TestHealthScore:
+    def test_buckets_and_cap(self):
+        day = 86_400
+        fresh = {
+            "upload_timestamp": NOW_TS - 5 * day,
+            "description": "word " * 600,
+            "summary": "s",
+            "license": "MIT",
+            "author": "a",
+            "classifiers": ["X"],
+        }
+        out = tf.health_score(fresh, NOW_TS)
+        assert out["health_recency"] == 40
+        assert out["health_docs"] == 30
+        assert out["health_metadata"] == 30
+        assert out["health_score"] == 100
+        stale = tf.health_score({"upload_timestamp": NOW_TS - 1000 * day}, NOW_TS)
+        assert stale["health_recency"] == 0 and stale["health_score"] == 0
+        no_ts = tf.health_score({}, NOW_TS)
+        assert no_ts["health_recency"] == 0
+
+
+def test_package_chain_end_to_end():
+    pkgs = synth_packages(24)
+    ds = ray.data.from_arrow(pkgs)
+    out = ds.map_batches(
+        PackageChain, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).map_batches(validate_required, batch_format="pyarrow")
+    tbl = out.to_pandas()
+    assert len(tbl) == 24
+    # chain outputs present and consistent with direct function calls
+    row = tbl[tbl["name"] == "plone.api"].iloc[0]
+    assert row["version_sortable"] == "1.0001.0000.0003.0000.0000"
+    assert row["repo_identifier"] == "plone/plone.api"
+    assert isinstance(row["framework_versions"], (list, object))
+    # every doc passed clean_data: no None strings remain in key fields
+    assert tbl["summary"].notna().all()
+    assert (tbl["upload_timestamp"].notna()).all()
+    # health scores within range
+    assert tbl["health_score"].between(0, 100).all()
+
+
+def test_validate_required_rejects_unchained():
+    pkgs = synth_packages(4)
+    with pytest.raises(ValueError, match="required columns"):
+        validate_required(pkgs)
+
+
+def test_chain_composition_is_idempotent_per_actor():
+    """Applying the chain twice must not stack/duplicate (reference
+    slice-assignment semantics)."""
+    chain = PackageChain()
+    t = synth_packages(4)
+    once = chain(t)
+    twice = chain(once)
+    assert once["version_sortable"].to_pylist() == twice["version_sortable"].to_pylist()
+    assert once["health_score"].to_pylist() == twice["health_score"].to_pylist()
