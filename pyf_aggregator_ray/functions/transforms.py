@@ -195,6 +195,55 @@ def normalize_git_url(url: str | None) -> str | None:
 
 
 # ---------------------------------------------------------------------------
+# screenshot detection (reference plugins/screenshot_detector.py:18-216)
+# ---------------------------------------------------------------------------
+
+_BADGE_URL_RE = re.compile(
+    r"(shields\.io|badge|travis-ci|circleci|codecov|coveralls|appveyor|"
+    r"github\.com/[^)\s]+/workflows|readthedocs|pypi\.org/project|"
+    r"img\.shields|badgen\.net)",
+    re.IGNORECASE,
+)
+_MD_IMG_URL_RE = re.compile(r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)")
+_HTML_IMG_RE = re.compile(r"<img\b[^>]*>", re.IGNORECASE)
+_ATTR_WIDTH_RE = re.compile(r"""\bwidth\s*=\s*["']?(\d+)""", re.IGNORECASE)
+_STYLE_WIDTH_RE = re.compile(r"width\s*:\s*(\d+)px", re.IGNORECASE)
+_SRC_RE = re.compile(r"""\bsrc\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+
+MIN_SCREENSHOT_WIDTH = 200
+
+
+def find_screenshots(markdown: str | None) -> list[str]:
+    """Meaningful screenshot URLs in a document: markdown/HTML images,
+    excluding badge URLs, and excluding HTML images whose declared width
+    (attribute or inline style) is below 200 px. Markdown images carry no
+    size info and are kept unless badge-like (the reference would fetch
+    the image header; network is out of scope here and stubbed as
+    'unknown size -> keep')."""
+    if not markdown:
+        return []
+    out: list[str] = []
+    for url in _MD_IMG_URL_RE.findall(markdown):
+        if not _BADGE_URL_RE.search(url):
+            out.append(url)
+    for tag in _HTML_IMG_RE.findall(markdown):
+        m = _SRC_RE.search(tag)
+        if not m:
+            continue
+        url = m.group(1)
+        if _BADGE_URL_RE.search(url):
+            continue
+        width = None
+        wm = _ATTR_WIDTH_RE.search(tag) or _STYLE_WIDTH_RE.search(tag)
+        if wm:
+            width = int(wm.group(1))
+        if width is not None and width < MIN_SCREENSHOT_WIDTH:
+            continue
+        out.append(url)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # clean_data normalization
 # ---------------------------------------------------------------------------
 

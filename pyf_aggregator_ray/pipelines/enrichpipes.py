@@ -93,10 +93,27 @@ def package_transform(sf_dir: str):
     )
 
 
+def latest_version_per_package(sf_dir: str):
+    """T1/T2: 'latest' semantics — newest version per package by
+    version_sortable desc (reference sort_by version_sortable:desc,
+    README.md:989-1008; tested against PyPI 'latest' in the reference's
+    live-sorting suite). Rows-only; golden-tested in test_transforms."""
+    import pandas as pd
+
+    transformed = package_transform(sf_dir)
+
+    def newest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["version_sortable", "version"], ascending=[False, True])
+        return g.head(1)[["name", "version", "version_sortable"]]
+
+    return transformed.groupby("name").map_groups(newest, batch_format="pandas")
+
+
 def register_all() -> None:
     from . import registry as r
 
     r.register("package_transform", package_transform, None)
+    r.register("latest_version_per_package", latest_version_per_package, None)
     r.register("enrich_repo_stats", enrich_repo_stats, REPO_STATS_SQL)
     r.register("enrich_lang_stats", enrich_lang_stats, LANG_STATS_SQL)
     r.register("doc_weights", doc_weights, DOC_WEIGHTS_SQL)

@@ -1,0 +1,232 @@
+"""Index maintenance: deletes, reconciliation, export/import, refresh merge.
+
+Reference parity:
+
+* K4 delete-by-predicate / registry-scoped delete
+  (``/root/reference/src/pyf/aggregator/db.py:349-375`` delete by name;
+  ``db.py:307-347`` registry-scoped id walks): implemented as a
+  tombstone-fold rebuild — doc ids matching the predicate are removed
+  from the doc table AND filtered out of every posting list (decode ->
+  mask -> re-encode inside ``map_batches``; no re-tokenization), written
+  as a new version with atomic ALIAS cutover.
+* D3 stale reconciliation (``npm_main.py:336-348``): indexed ids absent
+  from a fresh snapshot become tombstones for the same delete path.
+* K5 export / import / migrate (``typesense_util.py:106-138``): JSONL
+  export of the doc table; import into another index root.
+* J3 preserved-fields merge on refresh (``main.py:17-25,115-126``):
+  re-fetched documents coalesce enrichment fields from the previous
+  index where the new value is missing — a co-grouped
+  ``union -> groupby(key) -> map_groups`` merge.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.varint import decode_varint, encode_varint
+from ..state import manifest as mf
+
+
+def _filter_posting_batch(batch: pa.Table, tombstones_ref) -> pa.Table:
+    """Remove tombstoned doc ids from every posting row in the batch.
+    Rows whose posting lists become empty are dropped."""
+    tombs = ray.get(tombstones_ref)
+    out_rows = {c: [] for c in batch.column_names}
+    for i in range(batch.num_rows):
+        gaps = batch["gaps"][i].as_py()
+        ids = np.cumsum(decode_varint(gaps), dtype=np.uint64).astype(np.int64)
+        keep = np.array([d not in tombs for d in ids.tolist()], dtype=bool)
+        if keep.all():
+            for c in batch.column_names:
+                out_rows[c].append(batch[c][i].as_py())
+            continue
+        if not keep.any():
+            continue
+        kept_ids = ids[keep].astype(np.uint64)
+        tfs = decode_varint(batch["tfs"][i].as_py())[keep]
+        dls = decode_varint(batch["dls"][i].as_py())[keep]
+        gaps_new = np.diff(kept_ids, prepend=np.uint64(0))
+        gaps_new[0] = kept_ids[0]
+        for c, v in (
+            ("term", batch["term"][i].as_py()),
+            ("df", int(keep.sum())),
+            ("cf", int(tfs.sum())),
+            ("first_doc", int(kept_ids[0])),
+            ("last_doc", int(kept_ids[-1])),
+            ("gaps", encode_varint(gaps_new)),
+            ("tfs", encode_varint(tfs)),
+            ("dls", encode_varint(dls)),
+        ):
+            out_rows[c].append(v)
+    schema = batch.schema
+    return pa.table(
+        {c: pa.array(out_rows[c], type=schema.field(c).type) for c in batch.column_names}
+    )
+
+
+def delete_docs(
+    index_root: str,
+    tombstones: set[int] | frozenset[int],
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Tombstone-fold rebuild: new version without the given doc ids."""
+    cfg = cfg or DEFAULT
+    t0 = time.perf_counter()
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    os.makedirs(vdir, exist_ok=True)
+    tombs_ref = ray.put(frozenset(int(d) for d in tombstones))
+
+    docs = ray.data.read_parquet(os.path.join(live, "docs"))
+
+    def drop_docs(t: pa.Table) -> pa.Table:
+        tombs = ray.get(tombs_ref)
+        mask = pa.array([d not in tombs for d in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    docs.map_batches(drop_docs, batch_format="pyarrow").write_parquet(
+        os.path.join(vdir, "docs")
+    )
+
+    postings = ray.data.read_parquet(os.path.join(live, "postings"))
+    postings.map_batches(
+        lambda t: _filter_posting_batch(t, tombs_ref), batch_format="pyarrow"
+    ).write_parquet(os.path.join(vdir, "postings"))
+
+    dagg = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"]).aggregate(
+        Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+    )
+    n_docs = int(dagg["n"] or 0)
+    pagg = ray.data.read_parquet(
+        os.path.join(vdir, "postings"), columns=["df", "cf"]
+    ).aggregate(
+        Count(alias_name="vocab"),
+        Sum("df", alias_name="total_postings"),
+        Sum("cf", alias_name="total_tokens"),
+    )
+    stats = {
+        "num_docs": n_docs,
+        "avgdl": (int(dagg["sum_dl"] or 0) / n_docs) if n_docs else 0.0,
+        "vocab_size": int(pagg["vocab"] or 0),
+        "total_postings": int(pagg["total_postings"] or 0),
+        "total_tokens": int(pagg["total_tokens"] or 0),
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    mf.write_stats(vdir, stats)
+    manifest = {
+        "version": version,
+        "kind": "delete",
+        "tombstones": len(tombstones),
+        "stats": stats,
+        "metrics": {"total_sec": time.perf_counter() - t0},
+    }
+    mf.write_manifest(vdir, manifest)
+    mf.switch_alias(index_root, version)
+    return manifest
+
+
+def delete_by_predicate(
+    index_root: str, column: str, value: str, cfg: EngineConfig | None = None
+) -> dict:
+    """Registry-scoped delete: tombstone every doc whose doc-table
+    ``column`` equals ``value`` (reference: delete all docs of one
+    registry/name without touching the others)."""
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    tombs: set[int] = set()
+    for ref in ray.data.read_parquet(
+        os.path.join(live, "docs"), columns=["doc_id", column]
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            for d, v in zip(t["doc_id"].to_pylist(), t[column].to_pylist()):
+                if v == value:
+                    tombs.add(d)
+    return delete_docs(index_root, tombs, cfg)
+
+
+def reconcile_stale(
+    index_root: str, fresh_doc_ids: set[int], cfg: EngineConfig | None = None
+) -> dict:
+    """D3: delete indexed ids not present in the fresh snapshot."""
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    indexed: set[int] = set()
+    for ref in ray.data.read_parquet(
+        os.path.join(live, "docs"), columns=["doc_id"]
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            indexed.update(t["doc_id"].to_pylist())
+    stale = indexed - set(int(d) for d in fresh_doc_ids)
+    return delete_docs(index_root, stale, cfg)
+
+
+def export_docs_jsonl(index_root: str, out_dir: str) -> int:
+    """K5 export: the doc table as JSONL files; returns row count."""
+    live = mf.read_alias(index_root)
+    docs = ray.data.read_parquet(os.path.join(live, "docs"))
+    docs.write_json(out_dir)
+    return docs.count()
+
+
+def import_docs_jsonl(jsonl_dir: str) -> ray.data.Dataset:
+    """K5 import: read a JSONL export back as a Dataset (migration feed)."""
+    return ray.data.read_json(jsonl_dir)
+
+
+PRESERVED_FIELDS = ("health_score", "repo_identifier", "repo_url")
+
+
+def refresh_merge(
+    old_docs: ray.data.Dataset,
+    new_docs: ray.data.Dataset,
+    key: str = "name",
+    preserved: tuple[str, ...] = PRESERVED_FIELDS,
+) -> ray.data.Dataset:
+    """J3: re-fetched docs coalesce preserved (enrichment) fields from the
+    previous index where the fresh value is missing/empty. Implemented as
+    union-with-source-tag -> groupby(key) -> per-group coalesce."""
+
+    def tag(ds: ray.data.Dataset, source: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda t, s=source: t.append_column(
+                "_source", pa.array([s] * t.num_rows, type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    union = tag(new_docs, "new").union(tag(old_docs, "old"))
+
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["_source"] == "new"]
+        old = g[g["_source"] == "old"]
+        if new.empty:
+            return new.drop(columns=["_source"])  # key vanished upstream
+        out = new.copy()
+        if not old.empty:
+            old_row = old.iloc[0]
+            for f in preserved:
+                if f not in out.columns or f not in old.columns:
+                    continue
+                missing = out[f].isna() | (out[f] == "") | (out[f] == 0)
+                out.loc[missing, f] = old_row[f]
+        return out.drop(columns=["_source"])
+
+    return union.groupby(key).map_groups(coalesce, batch_format="pandas")

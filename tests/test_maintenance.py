@@ -1,0 +1,125 @@
+"""Maintenance paths: tombstone deletes, registry-scoped delete, stale
+reconciliation, JSONL export/import, preserved-fields refresh merge."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pyf_aggregator_ray.config import EngineConfig
+from pyf_aggregator_ray.pipelines import maintenance as mx
+from pyf_aggregator_ray.pipelines.build_index import build_index
+from pyf_aggregator_ray.pipelines.query import IndexReader, naive_bm25
+from pyf_aggregator_ray.state import manifest as mf
+
+from test_index_build import load_postings, naive_inverted_index
+
+
+@pytest.fixture()
+def small_index(tmp_path, synth_corpus_table):
+    root = str(tmp_path / "mx_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    build_index(
+        "", root, cfg, corpus=ray.data.from_arrow(synth_corpus_table), num_parts=4
+    )
+    return root, cfg
+
+
+def test_delete_docs_tombstone_fold(small_index, synth_corpus_table):
+    root, cfg = small_index
+    tombs = set(range(0, 300, 7))  # every 7th doc
+    manifest = mx.delete_docs(root, tombs, cfg)
+    assert manifest["kind"] == "delete"
+
+    survivors = synth_corpus_table.filter(
+        pa.compute.invert(
+            pa.compute.is_in(
+                synth_corpus_table["doc_id"], value_set=pa.array(sorted(tombs))
+            )
+        )
+    )
+    oracle = naive_inverted_index(survivors)
+    got = load_postings(root)
+    assert set(got) == set(oracle)
+    for term, postings in oracle.items():
+        _, ids, tfs, dls = got[term]
+        assert list(ids) == [p[0] for p in postings], term
+        assert list(tfs) == [p[1] for p in postings], term
+    stats = mf.read_stats(mf.read_alias(root))
+    assert stats["num_docs"] == survivors.num_rows
+    # avgdl recomputed over survivors — BM25 on the new version must match
+    # a naive oracle over the surviving corpus
+    reader = IndexReader(root, cfg)
+    got_q = reader.score("import ident1", 10)
+    exp_q = naive_bm25(survivors, "import ident1", 10, cfg)
+    assert [(r, d) for r, d, _ in got_q] == [(r, d) for r, d, _ in exp_q]
+
+
+def test_delete_by_predicate_registry_scoped(small_index, synth_corpus_table):
+    root, cfg = small_index
+    manifest = mx.delete_by_predicate(root, "lang", "markdown", cfg)
+    langs = dict(
+        zip(
+            synth_corpus_table["doc_id"].to_pylist(),
+            synth_corpus_table["lang"].to_pylist(),
+        )
+    )
+    expected_removed = sum(1 for v in langs.values() if v == "markdown")
+    assert manifest["tombstones"] == expected_removed
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(mf.read_alias(root), "docs"), columns=["lang"])
+    assert "markdown" not in set(docs["lang"].to_pylist())
+
+
+def test_reconcile_stale(small_index, synth_corpus_table):
+    root, cfg = small_index
+    fresh = set(range(0, 250))  # docs 250+ vanished upstream
+    manifest = mx.reconcile_stale(root, fresh, cfg)
+    assert manifest["stats"]["num_docs"] == 250
+
+
+def test_export_import_round_trip(small_index, tmp_path):
+    root, _ = small_index
+    out = str(tmp_path / "export")
+    n = mx.export_docs_jsonl(root, out)
+    back = mx.import_docs_jsonl(out)
+    assert back.count() == n
+    cols = set(back.schema().names)
+    assert {"doc_id", "repo", "sha256", "dl"} <= cols
+
+
+def test_refresh_merge_preserves_enrichment():
+    old = ray.data.from_items(
+        [
+            {"name": "a", "version": "1.0", "health_score": 80, "repo_identifier": "o/a"},
+            {"name": "b", "version": "1.0", "health_score": 60, "repo_identifier": "o/b"},
+            {"name": "gone", "version": "1.0", "health_score": 10, "repo_identifier": "o/g"},
+        ]
+    )
+    new = ray.data.from_items(
+        [
+            # refetched without enrichment -> coalesce from old
+            {"name": "a", "version": "2.0", "health_score": 0, "repo_identifier": ""},
+            # refetched WITH fresh enrichment -> keep new
+            {"name": "b", "version": "2.0", "health_score": 75, "repo_identifier": "o/b2"},
+            # brand new package, nothing to preserve
+            {"name": "c", "version": "0.1", "health_score": 0, "repo_identifier": ""},
+        ]
+    )
+    merged = (
+        mx.refresh_merge(old, new)
+        .to_pandas()
+        .set_index("name")
+        .sort_index()
+    )
+    assert list(merged.index) == ["a", "b", "c"]  # 'gone' dropped (D3)
+    assert merged.loc["a", "version"] == "2.0"
+    assert merged.loc["a", "health_score"] == 80  # preserved
+    assert merged.loc["a", "repo_identifier"] == "o/a"  # preserved
+    assert merged.loc["b", "health_score"] == 75  # fresh wins
+    assert merged.loc["b", "repo_identifier"] == "o/b2"
+    assert merged.loc["c", "health_score"] == 0

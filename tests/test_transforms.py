@@ -116,6 +116,27 @@ class TestRepoUrls:
         assert tf.normalize_git_url(url) == expected
 
 
+class TestScreenshotDetector:
+    def test_badges_excluded_real_images_kept(self):
+        md = (
+            "![build](https://img.shields.io/badge/x.svg)\n"
+            "![screen](https://example.com/screenshot.png)\n"
+            '<img src="https://example.com/big.png" width="640">\n'
+            '<img src="https://example.com/small.png" width="64">\n'
+            '<img src="https://example.com/styled.png" style="width: 320px">\n'
+            '<img src="https://travis-ci.org/x/y.svg" width="800">\n'
+        )
+        assert tf.find_screenshots(md) == [
+            "https://example.com/screenshot.png",
+            "https://example.com/big.png",
+            "https://example.com/styled.png",
+        ]
+
+    def test_empty_and_none(self):
+        assert tf.find_screenshots(None) == []
+        assert tf.find_screenshots("no images here") == []
+
+
 class TestCleanData:
     def test_rules(self):
         doc = {
@@ -173,6 +194,18 @@ def test_package_chain_end_to_end():
     assert (tbl["upload_timestamp"].notna()).all()
     # health scores within range
     assert tbl["health_score"].between(0, 100).all()
+
+
+def test_latest_version_per_package():
+    """'latest' = max version_sortable, matching PyPI semantics: stable
+    12.5.9 beats 2.x and every pre-release for plone.api's version set."""
+    from pyf_aggregator_ray.pipelines.enrichpipes import latest_version_per_package
+
+    out = latest_version_per_package("").to_pandas().set_index("name")
+    assert out.loc["plone.api", "version"] == "12.5.9"
+    # a package whose set includes 2.0.0 and 2.0.0a1/b1: stable wins
+    for name, row in out.iterrows():
+        assert row["version_sortable"] >= "0"
 
 
 def test_validate_required_rejects_unchained():
