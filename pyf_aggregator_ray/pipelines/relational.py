@@ -429,6 +429,106 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+SLIDE_S = 900  # 15-minute slide for the 1-hour sliding window
+
+
+def sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding windows (1 h length, 15 min slide): each event is
+    replicated into the 4 windows containing it inside ``map_batches``
+    (row-expanding), then the same grouped aggregate as tumbling —
+    no per-window re-scan of the input."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    n_slides = WINDOW_S // SLIDE_S
+
+    def explode(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), US).to_numpy(
+            zero_copy_only=False
+        )
+        value_c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        last_start = (epoch_s // SLIDE_S) * SLIDE_S
+        starts, out_t, out_v = [], [], []
+        for j in range(n_slides):
+            s = last_start - j * SLIDE_S
+            keep = s >= 0
+            starts.append(s[keep])
+            out_t.append(types[keep])
+            out_v.append(value_c[keep])
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_t)),
+                "window_start": pa.array(
+                    np.concatenate(starts).astype(np.int64)
+                ),
+                "value_c": pa.array(np.concatenate(out_v).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "window_start": df["window_start"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "sum_value": df["value_c"] / 100.0,
+        }
+    )
+
+
+SLIDING_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 AS epoch_s,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+),
+exploded AS (
+  SELECT event_type, value_c,
+         (epoch_s // {SLIDE_S}) * {SLIDE_S} - j.j * {SLIDE_S} AS window_start
+  FROM e CROSS JOIN (SELECT unnest(range({WINDOW_S // SLIDE_S})) AS j) j
+  WHERE (epoch_s // {SLIDE_S}) * {SLIDE_S} - j.j * {SLIDE_S} >= 0
+)
+SELECT event_type, window_start, count(*)::BIGINT AS n,
+       sum(value_c)::BIGINT / 100.0 AS sum_value
+FROM exploded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def user_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running cumulative sum over time (windowed aggregate):
+    groupby(user) -> sort within group -> cumsum in integer cents."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = (g["value"] * 100).round().astype("int64")
+        g["running_value"] = cents.cumsum() / 100.0
+        return g[["user_id", "event_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       )::BIGINT / 100.0 AS running_value
+FROM events
+ORDER BY user_id, event_id
+"""
+
 SESSION_GAP_S = 1800
 
 
@@ -593,6 +693,8 @@ def register_all() -> None:
     r.register("type_prefix_filter", type_prefix_filter, TYPE_PREFIX_SQL)
     r.register("event_timestamps", event_timestamps, EVENT_TS_SQL)
     r.register("tumbling_window", tumbling_window, TUMBLING_SQL)
+    r.register("sliding_window", sliding_window, SLIDING_SQL)
+    r.register("user_running_total", user_running_total, RUNNING_TOTAL_SQL)
     r.register("sessionize", sessionize, SESSIONIZE_SQL)
     r.register(
         "customers_without_recent_orders",
