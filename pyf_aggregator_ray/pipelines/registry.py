@@ -162,3 +162,7 @@ _relational.register_all()
 from . import enrichpipes as _enrichpipes  # noqa: E402
 
 _enrichpipes.register_all()
+
+from . import fieldsearch as _fieldsearch  # noqa: E402
+
+_fieldsearch.register_all()

@@ -223,3 +223,27 @@ def test_chain_composition_is_idempotent_per_actor():
     twice = chain(once)
     assert once["version_sortable"].to_pylist() == twice["version_sortable"].to_pylist()
     assert once["health_score"].to_pylist() == twice["health_score"].to_pylist()
+
+def test_weighted_field_search_field_boosts():
+    """A term hit in 'name' (weight 10) must outrank the same term hit
+    only in 'changelog' (weight 1) — the reference's 10,10,5,3,1 model."""
+    from pyf_aggregator_ray.pipelines.fieldsearch import (
+        FIELD_WEIGHTS,
+        _field_docs,
+        weighted_field_search,
+    )
+
+    assert FIELD_WEIGHTS == {
+        "name": 10, "title": 10, "first_chapter": 5, "main_content": 3,
+        "changelog": 1,
+    }
+    docs = _field_docs()
+    res = weighted_field_search("").to_pandas()
+    plone = res[res["query_id"] == 0]  # query 'plone'
+    assert len(plone) > 0
+    top_doc = docs.iloc[int(plone.iloc[0]["doc"])]
+    # top hit must contain 'plone' in a heavy field (name/title)
+    heavy = (str(top_doc["name"]) + " " + str(top_doc["title"])).lower()
+    assert "plone" in heavy
+    # absent-term query returns nothing
+    assert (res["query_id"] == 5).sum() == 0
