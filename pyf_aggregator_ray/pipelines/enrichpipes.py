@@ -109,11 +109,75 @@ def latest_version_per_package(sf_dir: str):
     return transformed.groupby("name").map_groups(newest, batch_format="pandas")
 
 
+def _sql_quote(s) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _package_chain_local():
+    """The plugin chain applied IN-PROCESS (no Ray) — the independent side
+    of the distributed-vs-local equivalence oracle below."""
+    import pandas as pd
+
+    from ..sources.packages import synth_packages
+    from ..stages.package_chain import PackageChain
+
+    df = PackageChain()(synth_packages(24)).to_pandas()
+    return df[
+        ["name", "version", "version_sortable", "title", "repo_identifier",
+         "health_score", "registry"]
+    ]
+
+
+def package_transform_sql() -> str:
+    """Literal oracle computed by running the SAME chain locally in this
+    process: the driver's comparison then verifies that the Ray
+    actor-pool execution preserves the chain's semantics exactly (and
+    that results are deterministic across processes). The chain itself is
+    independently pinned by reference golden vectors in
+    tests/test_transforms.py / test_versions.py."""
+    df = _package_chain_local()
+    rows = ",\n    ".join(
+        "({})".format(
+            ", ".join(
+                [_sql_quote(r["name"]), _sql_quote(r["version"]),
+                 _sql_quote(r["version_sortable"]), _sql_quote(r["title"]),
+                 _sql_quote(r["repo_identifier"]), str(int(r["health_score"])),
+                 _sql_quote(r["registry"])]
+            )
+        )
+        for _, r in df.iterrows()
+    )
+    return f"""
+SELECT * FROM (VALUES
+    {rows}
+) AS t(name, version, version_sortable, title, repo_identifier, health_score, registry)
+"""
+
+
+def latest_version_sql() -> str:
+    """Literal oracle: local pandas argmax by version_sortable — checks
+    the distributed groupby/map_groups newest-per-group against it."""
+    df = _package_chain_local().sort_values(
+        ["version_sortable", "version"], ascending=[False, True]
+    ).drop_duplicates("name")
+    rows = ",\n    ".join(
+        f"({_sql_quote(r['name'])}, {_sql_quote(r['version'])}, {_sql_quote(r['version_sortable'])})"
+        for _, r in df.iterrows()
+    )
+    return f"""
+SELECT * FROM (VALUES
+    {rows}
+) AS t(name, version, version_sortable)
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
-    r.register("package_transform", package_transform, None)
-    r.register("latest_version_per_package", latest_version_per_package, None)
+    r.register("package_transform", package_transform, package_transform_sql())
+    r.register(
+        "latest_version_per_package", latest_version_per_package, latest_version_sql()
+    )
     r.register("enrich_repo_stats", enrich_repo_stats, REPO_STATS_SQL)
     r.register("enrich_lang_stats", enrich_lang_stats, LANG_STATS_SQL)
     r.register("doc_weights", doc_weights, DOC_WEIGHTS_SQL)
