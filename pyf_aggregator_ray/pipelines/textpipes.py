@@ -266,9 +266,57 @@ ORDER BY doc_a, doc_b
 
 
 def simhash_pairs(sf_dir: str) -> pa.Table:
-    # no SQL oracle (bit-level simhash is impractical in SQL); verified in
-    # tests/test_dedup.py against a brute-force hamming oracle
+    # exact SQL oracle below replicates the bit-level algorithm (md5-high
+    # 64 bits, tf-weighted ±1 bit sums, 4x16-bit block LSH, popcount);
+    # additionally verified in tests/test_dedup.py vs brute force
     return dedup_stage.simhash_near_dup_pairs(_docs(sf_dir))
+
+
+SIMHASH_MAX_HAMMING = 8
+
+SIMHASH_SQL = f"""
+WITH {TOKS_SQL},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv
+  FROM tf
+),
+bits AS (
+  SELECT doc_id, i.i AS i,
+         sum(tf * (CAST((hv >> i.i) & 1 AS BIGINT) * 2 - 1)) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) i
+  GROUP BY 1, 2
+),
+vals AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY 1
+),
+hexes AS (
+  SELECT d.doc_id,
+         coalesce(lpad(lower(to_hex(v.v::UBIGINT)), 16, '0'),
+                  '0000000000000000') AS hex,
+         coalesce(v.v, 0::HUGEINT) AS v
+  FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id
+),
+blocks AS (
+  SELECT doc_id, b.b AS blk, substr(hex, b.b * 4 + 1, 4) AS key
+  FROM hexes CROSS JOIN (SELECT unnest(range(4)) AS b) b
+),
+cands AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM blocks b1 JOIN blocks b2
+    ON b1.blk = b2.blk AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(h1.v::UBIGINT, h2.v::UBIGINT))::BIGINT AS hamming
+FROM cands c
+JOIN hexes h1 ON h1.doc_id = c.doc_a
+JOIN hexes h2 ON h2.doc_id = c.doc_b
+WHERE bit_count(xor(h1.v::UBIGINT, h2.v::UBIGINT)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +405,7 @@ def register_all() -> None:
     r.register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
     r.register("minhash_lsh_dedup", minhash_lsh, MINHASH_LSH_SQL)
     r.register("ngram_jaccard_pairs", ngram_jaccard, NGRAM_JACCARD_SQL)
-    r.register("simhash_near_dup", simhash_pairs, None)
+    r.register("simhash_near_dup", simhash_pairs, SIMHASH_SQL)
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
     r.register("ann_topk_lsh", ann_topk_lsh, None)
     r.register("media_image_features", media_image_features, None)
