@@ -52,6 +52,26 @@ from ..stages.tokenize import TokenizeStage, doc_meta_batch
 from ..state import manifest as mf
 
 
+def _stats_excerpt(ds: ray.data.Dataset, max_lines: int = 60) -> list[str]:
+    """Per-operator wall/UDF/rows lines from the executed pipeline's
+    ds.stats() — recorded in the manifest as per-stage lineage metrics."""
+    try:
+        lines = [
+            ln.strip()
+            for ln in ds.stats().splitlines()
+            if any(
+                key in ln
+                for key in (
+                    "Operator", "Remote wall time", "UDF time",
+                    "Output num rows per block", "throughput",
+                )
+            )
+        ]
+        return lines[:max_lines]
+    except Exception:  # stats are best-effort lineage, never fail a build
+        return []
+
+
 def _tokens_ds(corpus: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     concurrency = cfg.tokenize_concurrency
     if concurrency is None:
@@ -155,10 +175,10 @@ def build_index(
 
     # ---- pass 1: doc metadata (incl. per-row sha256 invariant) ----
     t = time.perf_counter()
-    corpus_ds().map_batches(doc_meta_batch, batch_format="pyarrow").write_parquet(
-        os.path.join(vdir, "docs")
-    )
+    docs_pipeline = corpus_ds().map_batches(doc_meta_batch, batch_format="pyarrow")
+    docs_pipeline.write_parquet(os.path.join(vdir, "docs"))
     metrics["docs_pass_sec"] = time.perf_counter() - t
+    metrics["docs_pass_stats"] = _stats_excerpt(docs_pipeline)
 
     docs_meta = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"])
     agg = docs_meta.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sum_dl"))
@@ -219,18 +239,19 @@ def build_index(
             batch_format="pyarrow",
         )
 
-    postings = _merge_stage(shards, merge_parts=max(4, num_parts // 4))
+    final = _merge_stage(shards, merge_parts=max(4, num_parts // 4)).sort("term")
     try:
-        postings.sort("term").write_parquet(
+        final.write_parquet(
             os.path.join(vdir, "postings"),
             min_rows_per_file=cfg.postings_rows_per_file,
         )
     except TypeError:  # older Ray: num_rows_per_file
-        postings.sort("term").write_parquet(
+        final.write_parquet(
             os.path.join(vdir, "postings"),
             num_rows_per_file=cfg.postings_rows_per_file,
         )
     metrics["index_pass_sec"] = time.perf_counter() - t
+    metrics["index_pass_stats"] = _stats_excerpt(final)
 
     # ---- stats + verification + manifest + atomic alias cutover ----
     pread = ray.data.read_parquet(
