@@ -18,9 +18,12 @@ Scale notes (100 TB design point):
   buckets shuffle only (doc_id, band, sig) rows. A pathological bucket
   (g members) emits O(g^2) candidate pairs — cap/salt via
   ``max_bucket_size`` before pairing.
-* the exact-Jaccard verify joins candidate pairs back to shingle sets
-  by doc_id (a hash join); here the small-side candidate set is
-  broadcast, which is the right call whenever |candidates| << |docs|.
+* no O(N) structure ever lands on the driver: per-doc shingle-set sizes
+  and simhashes stay Datasets and are attached to candidate pairs via
+  hash joins (``Dataset.join``); the candidate-pair set (small by LSH
+  construction) is assembled INSIDE a Ray task and broadcast by object
+  ref; only final thresholded pair tables (the query results) are
+  collected.
 """
 
 from __future__ import annotations
@@ -41,6 +44,11 @@ from ..functions.tokenizer import tokenize_column
 
 MERSENNE31 = 2**31 - 1
 
+# hash-join fan-out for candidate-pair <-> per-doc attribute joins. On a
+# multi-node cluster this should scale with the candidate volume; the
+# joined sides here are candidate pairs (small) and per-doc scalars.
+JOIN_PARTITIONS = 16
+
 
 def _tables(ds: "ray.data.Dataset"):
     """Yield the dataset's non-empty Arrow blocks (zero-row blocks can
@@ -49,6 +57,31 @@ def _tables(ds: "ray.data.Dataset"):
         t = ray.get(ref)
         if t.num_rows:
             yield t
+
+
+def _empty_pairs(value_col: str, value_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            value_col: pa.array([], type=value_type),
+        }
+    )
+
+
+@ray.remote
+def _pair_set_task(*tables: pa.Table) -> frozenset:
+    """Build the candidate-pair frozenset inside a Ray task — the set
+    lives in the object store; the driver only ever holds the ref."""
+    s: set[tuple[int, int]] = set()
+    for t in tables:
+        if t.num_rows:
+            s.update(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+    return frozenset(s)
+
+
+def pair_set_ref(pairs: ray.data.Dataset) -> "ray.ObjectRef":
+    return _pair_set_task.remote(*pairs.to_arrow_refs())
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

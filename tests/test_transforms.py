@@ -224,26 +224,90 @@ def test_chain_composition_is_idempotent_per_actor():
     assert once["version_sortable"].to_pylist() == twice["version_sortable"].to_pylist()
     assert once["health_score"].to_pylist() == twice["health_score"].to_pylist()
 
-def test_weighted_field_search_field_boosts():
-    """A term hit in 'name' (weight 10) must outrank the same term hit
-    only in 'changelog' (weight 1) — the reference's 10,10,5,3,1 model."""
+def test_weighted_field_search_distributed_pipeline(ray_session):
+    """The BM25F pipeline runs as Ray Data stages over a corpus-scale
+    input (>=200 docs) and matches a local brute-force reference; weight
+    model is the reference's 10,10,5,3,1."""
+    import math
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyf_aggregator_ray.config import DEFAULT
+    from pyf_aggregator_ray.functions.rounding import round6
     from pyf_aggregator_ray.pipelines.fieldsearch import (
         FIELD_WEIGHTS,
-        _field_docs,
-        weighted_field_search,
+        PART_A_WORDS,
+        PART_B_END,
+        field_tf_rows,
+        score_queries,
     )
 
     assert FIELD_WEIGHTS == {
         "name": 10, "title": 10, "first_chapter": 5, "main_content": 3,
         "changelog": 1,
     }
-    docs = _field_docs()
-    res = weighted_field_search("").to_pandas()
-    plone = res[res["query_id"] == 0]  # query 'plone'
-    assert len(plone) > 0
-    top_doc = docs.iloc[int(plone.iloc[0]["doc"])]
-    # top hit must contain 'plone' in a heavy field (name/title)
-    heavy = (str(top_doc["name"]) + " " + str(top_doc["title"])).lower()
-    assert "plone" in heavy
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    n_docs = 240
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 40))))
+        for _ in range(n_docs)
+    ]
+    docs_tbl = pa.table(
+        {"doc_id": pa.array(range(n_docs), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    queryset = [(0, "alpha", 5), (1, "beta gamma", 5), (2, "doc 17", 3),
+                (3, "zzznope", 5)]
+
+    ds = ray.data.from_arrow(docs_tbl).repartition(4)
+    tf = field_tf_rows(ds)
+    assert isinstance(tf, ray.data.Dataset)  # distributed path, no fallback
+    res = score_queries(tf, queryset, DEFAULT.k1, DEFAULT.b).to_pandas()
+
+    # local brute-force reference over the same construction
+    tok = re.compile("[a-z0-9]+")
+    wtf = [dict() for _ in range(n_docs)]
+    wdl = np.zeros(n_docs)
+    for i, text in enumerate(texts):
+        words = tok.findall(text.lower())
+        fields = {
+            "name": ["doc", str(i)],
+            "title": ["doc", str(i)],
+            "first_chapter": ["doc", str(i)] + words[:PART_A_WORDS],
+            "main_content": ["usage"] + words[PART_A_WORDS:PART_B_END],
+            "changelog": ["changelog"] + words[PART_B_END:],
+        }
+        for f, w in FIELD_WEIGHTS.items():
+            wdl[i] += w * len(fields[f])
+            for t in fields[f]:
+                wtf[i][t] = wtf[i].get(t, 0.0) + w
+    avg_wdl = wdl.sum() / n_docs
+    df = {}
+    for d in wtf:
+        for t in d:
+            df[t] = df.get(t, 0) + 1
+    for qid, q, k in queryset:
+        terms = sorted(set(tok.findall(q.lower())))
+        scores = np.zeros(n_docs)
+        for t in terms:
+            if t not in df:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            for i in range(n_docs):
+                v = wtf[i].get(t)
+                if v:
+                    scores[i] += idf * v * (DEFAULT.k1 + 1) / (
+                        v + DEFAULT.k1 * (1 - DEFAULT.b + DEFAULT.b * wdl[i] / avg_wdl)
+                    )
+        cand = np.flatnonzero(scores > 0)
+        order = cand[np.lexsort((cand, -scores[cand]))][:k]
+        got = res[res["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == [int(i) for i in order], f"query {qid}"
+        assert got["score"].tolist() == [round6(scores[i]) for i in order]
     # absent-term query returns nothing
-    assert (res["query_id"] == 5).sum() == 0
+    assert (res["query_id"] == 3).sum() == 0
