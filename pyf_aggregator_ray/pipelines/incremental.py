@@ -6,9 +6,11 @@ queue.py:590-724,539-587``; sincefile watermark ``fetcher.py:106-118``;
 stale-id reconciliation ``npm_main.py:336-348``) as a batch job:
 
 1. read the live index version (ALIAS)
-2. anti-join incoming corpus rows against already-indexed doc ids
-   (broadcast id set here; at 10^12-doc scale this becomes a Bloom
-   filter or a hash-partitioned anti-join — semantics identical)
+2. anti-join incoming corpus rows against already-indexed doc ids:
+   a distributed semi-join (tag-union + grouped aggregate, hash-
+   partitioned on doc_id) finds the overlap, which is bounded by the
+   DELTA size and broadcast by object ref to filter the delta rows —
+   the full index id set never leaves the cluster
 3. tokenize + encode ONLY the delta docs into posting shards
 4. merge: existing posting rows are themselves valid shards, so the
    delta merge is the same ordered-concat streaming aggregate used by
@@ -36,21 +38,11 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..config import DEFAULT, EngineConfig
+from ..stages import idsets
 from ..stages.postings import encode_partition
 from ..stages.tokenize import TokenizeStage, doc_meta_batch
 from ..state import manifest as mf
 from .build_index import _merge_stage, _tokens_ds
-
-
-def indexed_doc_ids(vdir: str) -> frozenset[int]:
-    ids: set[int] = set()
-    for ref in ray.data.read_parquet(
-        os.path.join(vdir, "docs"), columns=["doc_id"]
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            ids.update(t["doc_id"].to_pylist())
-    return frozenset(ids)
 
 
 def incremental_update(
@@ -69,15 +61,21 @@ def incremental_update(
     vdir = mf.version_dir(index_root, version)
     os.makedirs(vdir, exist_ok=True)
 
-    # ---- watermark/dedup: drop rows already indexed (idempotent rerun) ----
-    seen_ref = ray.put(indexed_doc_ids(live))
-
-    def anti(t: pa.Table) -> pa.Table:
-        seen = ray.get(seen_ref)
-        mask = pa.array([d not in seen for d in t["doc_id"].to_pylist()])
-        return t.filter(mask)
-
-    fresh = delta_corpus.map_batches(anti, batch_format="pyarrow")
+    # ---- watermark/dedup: drop rows already indexed (idempotent rerun).
+    # The overlap (delta ∩ indexed) is computed as a distributed semi-join
+    # on id-only columns; only that overlap — bounded by the DELTA size,
+    # not the index — is broadcast to filter the delta rows. ----
+    delta_corpus = delta_corpus.materialize()  # reused: overlap + fresh
+    delta_ids = delta_corpus.map_batches(
+        lambda t: t.select(["doc_id"]) if t.num_rows else
+        pa.schema([("doc_id", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    live_ids = ray.data.read_parquet(
+        os.path.join(live, "docs"), columns=["doc_id"]
+    )
+    overlap_ref = idsets.id_array_ref(idsets.semi_join_ids(delta_ids, live_ids))
+    fresh = idsets.filter_out_ids(delta_corpus, overlap_ref)
 
     # ---- docs meta: old partitions + delta rows -> v_{N+1}/docs ----
     old_docs = ray.data.read_parquet(os.path.join(live, "docs"))

@@ -34,18 +34,26 @@ from ray.data.aggregate import Count, Sum
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.varint import decode_varint, encode_varint
+from ..stages import idsets
 from ..state import manifest as mf
+
+
+@ray.remote
+def _arr_len(arr) -> int:
+    return int(len(arr))
 
 
 def _filter_posting_batch(batch: pa.Table, tombstones_ref) -> pa.Table:
     """Remove tombstoned doc ids from every posting row in the batch.
-    Rows whose posting lists become empty are dropped."""
+    Rows whose posting lists become empty are dropped. The tombstone
+    broadcast is a sorted int64 array; membership is vectorized
+    (np.isin) per posting list."""
     tombs = ray.get(tombstones_ref)
     out_rows = {c: [] for c in batch.column_names}
     for i in range(batch.num_rows):
         gaps = batch["gaps"][i].as_py()
         ids = np.cumsum(decode_varint(gaps), dtype=np.uint64).astype(np.int64)
-        keep = np.array([d not in tombs for d in ids.tolist()], dtype=bool)
+        keep = ~np.isin(ids, tombs)
         if keep.all():
             for c in batch.column_names:
                 out_rows[c].append(batch[c][i].as_py())
@@ -76,10 +84,17 @@ def _filter_posting_batch(batch: pa.Table, tombstones_ref) -> pa.Table:
 
 def delete_docs(
     index_root: str,
-    tombstones: set[int] | frozenset[int],
+    tombstones: "set[int] | frozenset[int] | ray.ObjectRef",
     cfg: EngineConfig | None = None,
+    n_tombstones: int | None = None,
 ) -> dict:
-    """Tombstone-fold rebuild: new version without the given doc ids."""
+    """Tombstone-fold rebuild: new version without the given doc ids.
+
+    ``tombstones`` may be a Python set (small, caller-held) or an object
+    ref to a sorted int64 numpy array already living in the object store
+    (the scale path — see ``stages.idsets.id_array_ref``); the driver
+    never touches the ids in that case.
+    """
     cfg = cfg or DEFAULT
     t0 = time.perf_counter()
     live = mf.read_alias(index_root)
@@ -88,16 +103,18 @@ def delete_docs(
     version = mf.next_version(index_root)
     vdir = mf.version_dir(index_root, version)
     os.makedirs(vdir, exist_ok=True)
-    tombs_ref = ray.put(frozenset(int(d) for d in tombstones))
+    if isinstance(tombstones, ray.ObjectRef):
+        tombs_ref = tombstones
+        if n_tombstones is None:
+            n_tombstones = int(ray.get(_arr_len.remote(tombs_ref)))
+    else:
+        n_tombstones = len(tombstones)
+        tombs_ref = ray.put(
+            np.array(sorted(int(d) for d in tombstones), dtype=np.int64)
+        )
 
     docs = ray.data.read_parquet(os.path.join(live, "docs"))
-
-    def drop_docs(t: pa.Table) -> pa.Table:
-        tombs = ray.get(tombs_ref)
-        mask = pa.array([d not in tombs for d in t["doc_id"].to_pylist()])
-        return t.filter(mask)
-
-    docs.map_batches(drop_docs, batch_format="pyarrow").write_parquet(
+    idsets.filter_out_ids(docs, tombs_ref).write_parquet(
         os.path.join(vdir, "docs")
     )
 
@@ -130,7 +147,7 @@ def delete_docs(
     manifest = {
         "version": version,
         "kind": "delete",
-        "tombstones": len(tombstones),
+        "tombstones": n_tombstones,
         "stats": stats,
         "metrics": {"total_sec": time.perf_counter() - t0},
     }
@@ -144,38 +161,53 @@ def delete_by_predicate(
 ) -> dict:
     """Registry-scoped delete: tombstone every doc whose doc-table
     ``column`` equals ``value`` (reference: delete all docs of one
-    registry/name without touching the others)."""
+    registry/name without touching the others). The matching-id scan is
+    a distributed filter; the id array is assembled in a Ray task and
+    passed to delete_docs by object ref — never driver-collected."""
+    import pyarrow.compute as pc
+
     live = mf.read_alias(index_root)
     if not live:
         raise RuntimeError(f"no live index under {index_root}")
-    tombs: set[int] = set()
-    for ref in ray.data.read_parquet(
+    docs = ray.data.read_parquet(
         os.path.join(live, "docs"), columns=["doc_id", column]
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            for d, v in zip(t["doc_id"].to_pylist(), t[column].to_pylist()):
-                if v == value:
-                    tombs.add(d)
-    return delete_docs(index_root, tombs, cfg)
+    )
+
+    def matching(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        return t.filter(pc.equal(t[column], value)).select(["doc_id"])
+
+    ids = docs.map_batches(matching, batch_format="pyarrow")
+    return delete_docs(index_root, idsets.id_array_ref(ids), cfg)
 
 
 def reconcile_stale(
-    index_root: str, fresh_doc_ids: set[int], cfg: EngineConfig | None = None
+    index_root: str,
+    fresh_doc_ids: "set[int] | ray.data.Dataset",
+    cfg: EngineConfig | None = None,
 ) -> dict:
-    """D3: delete indexed ids not present in the fresh snapshot."""
+    """D3: delete indexed ids not present in the fresh snapshot. The
+    stale set (indexed MINUS fresh) is computed as a distributed
+    anti-join; ``fresh_doc_ids`` may be a Dataset with a doc_id column
+    (scale path) or a small Python set."""
     live = mf.read_alias(index_root)
     if not live:
         raise RuntimeError(f"no live index under {index_root}")
-    indexed: set[int] = set()
-    for ref in ray.data.read_parquet(
+    indexed = ray.data.read_parquet(
         os.path.join(live, "docs"), columns=["doc_id"]
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            indexed.update(t["doc_id"].to_pylist())
-    stale = indexed - set(int(d) for d in fresh_doc_ids)
-    return delete_docs(index_root, stale, cfg)
+    )
+    if isinstance(fresh_doc_ids, ray.data.Dataset):
+        fresh = fresh_doc_ids
+    else:
+        fresh = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(sorted(int(d) for d in fresh_doc_ids),
+                                    type=pa.int64())}
+            )
+        )
+    stale = idsets.anti_join_ids(indexed, fresh)
+    return delete_docs(index_root, idsets.id_array_ref(stale), cfg)
 
 
 def export_docs_jsonl(index_root: str, out_dir: str) -> int:

@@ -17,6 +17,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -61,14 +62,32 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 
 def index_term_stats(sf_dir: str) -> pa.Table:
     """Term dictionary head: top-100 terms by df desc, term asc — checks
-    the postings aggregation (SURVEY A6) end-to-end."""
+    the postings aggregation (SURVEY A6) end-to-end.
+
+    Distributed top-k: each block is pre-pruned to its local top-100
+    (Arrow sort inside ``map_batches``), then the tiny survivor set is
+    merged on the driver — the full vocabulary never leaves the cluster
+    (at 10^12-file scale the whole-vocab collect would be a driver OOM).
+    """
+    import pyarrow.compute as pc
+
     root = ensure_index(sf_dir)
     vdir = mf.read_alias(root)
     ds = ray.data.read_parquet(
         os.path.join(vdir, "postings"), columns=["term", "df", "cf"]
     )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 100:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return t.take(idx[:100])
+
+    survivors = ds.map_batches(local_top, batch_format="pyarrow").take_all()
     out = (
-        ds.to_pandas()
+        pd.DataFrame(survivors)
         .sort_values(["df", "term"], ascending=[False, True])
         .head(100)
         .reset_index(drop=True)

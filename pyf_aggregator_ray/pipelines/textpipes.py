@@ -365,32 +365,32 @@ def ann_topk_lsh(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def media_image_features(sf_dir: str) -> ray.data.Dataset:
-    from ..stages.multimodal import ImageFeatureStage, synth_media_table
+def _media_ds(sf_dir: str) -> ray.data.Dataset:
+    """Synthetic media payloads generated INSIDE map_batches over the
+    documents id column — streaming end to end, no driver id collection."""
+    from ..stages.multimodal import synth_media_table
 
-    ids = [
-        t["doc_id"]
-        for t in ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id"]
-        ).take_all()
-    ]
-    media = ray.data.from_arrow(synth_media_table(sorted(ids)))
-    return media.map_batches(
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return ids.map_batches(
+        lambda t: synth_media_table(t["doc_id"].to_pylist()),
+        batch_format="pyarrow",
+    )
+
+
+def media_image_features(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.multimodal import ImageFeatureStage
+
+    return _media_ds(sf_dir).map_batches(
         ImageFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
     )
 
 
 def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
-    from ..stages.multimodal import FrameSampleStage, synth_media_table
+    from ..stages.multimodal import FrameSampleStage
 
-    ids = [
-        t["doc_id"]
-        for t in ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id"]
-        ).take_all()
-    ]
-    media = ray.data.from_arrow(synth_media_table(sorted(ids)))
-    return media.map_batches(
+    return _media_ds(sf_dir).map_batches(
         FrameSampleStage, batch_format="pyarrow", batch_size=64, concurrency=2
     )
 

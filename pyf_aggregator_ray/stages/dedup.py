@@ -34,6 +34,7 @@ import itertools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -43,11 +44,6 @@ from ..functions.rounding import round6
 from ..functions.tokenizer import tokenize_column
 
 MERSENNE31 = 2**31 - 1
-
-# hash-join fan-out for candidate-pair <-> per-doc attribute joins. On a
-# multi-node cluster this should scale with the candidate volume; the
-# joined sides here are candidate pairs (small) and per-doc scalars.
-JOIN_PARTITIONS = 16
 
 
 def _tables(ds: "ray.data.Dataset"):
@@ -67,6 +63,68 @@ def _empty_pairs(value_col: str, value_type: pa.DataType) -> pa.Table:
             value_col: pa.array([], type=value_type),
         }
     )
+
+
+def cogroup_attach(
+    pairs: ray.data.Dataset,
+    attr: ray.data.Dataset,
+    pair_key: str,
+    attr_key: str,
+    attr_col: str,
+    out_col: str,
+    payload_schema: pa.Schema,
+    attr_type: pa.DataType,
+) -> ray.data.Dataset:
+    """Distributed equi-join of a one-row-per-key attribute Dataset onto a
+    pair Dataset via union + groupby co-grouping (hash-partitioned on the
+    key — the classic shuffle join, built only on stable Ray Data
+    primitives; ``Dataset.join`` is experimental in this Ray version and
+    crashes on sparsely-populated partitions).
+
+    Inner-join semantics: pair rows whose key has no attribute row are
+    dropped. Neither side is ever collected on the driver.
+    """
+    full_schema = pa.schema(
+        [("ck", pa.int64())]
+        + list(payload_schema)
+        + [pa.field(out_col, attr_type)]
+    )
+    out_schema = pa.schema(list(payload_schema) + [pa.field(out_col, attr_type)])
+
+    def pairs_side(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or pair_key not in t.column_names:
+            return full_schema.empty_table()
+        cols = {"ck": pc.cast(t[pair_key], pa.int64())}
+        for f in payload_schema.names:
+            cols[f] = t[f]
+        cols[out_col] = pa.nulls(t.num_rows, type=attr_type)
+        return pa.table(cols).cast(full_schema)
+
+    def attr_side(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or attr_key not in t.column_names:
+            return full_schema.empty_table()
+        cols = {"ck": pc.cast(t[attr_key], pa.int64())}
+        for f in payload_schema.names:
+            cols[f] = pa.nulls(t.num_rows, type=payload_schema.field(f).type)
+        cols[out_col] = t[attr_col]
+        return pa.table(cols).cast(full_schema)
+
+    unioned = pairs.map_batches(pairs_side, batch_format="pyarrow").union(
+        attr.map_batches(attr_side, batch_format="pyarrow")
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        valid = pc.is_valid(g[out_col])
+        attr_rows = g.filter(valid)
+        pair_rows = g.filter(pc.invert(valid))
+        if attr_rows.num_rows == 0 or pair_rows.num_rows == 0:
+            return out_schema.empty_table()
+        v = attr_rows[out_col][0].as_py()
+        cols = {f: pair_rows[f] for f in payload_schema.names}
+        cols[out_col] = pa.array([v] * pair_rows.num_rows, type=attr_type)
+        return pa.table(cols).cast(out_schema)
+
+    return unioned.groupby("ck").map_groups(merge, batch_format="pyarrow")
 
 
 @ray.remote
@@ -132,6 +190,21 @@ class MinHashStage:
         self.cfg = cfg or DEFAULT
         self.a, self.b = minhash_params(self.cfg.minhash_num_perm)
         self.rows_per_band = self.cfg.minhash_num_perm // self.cfg.minhash_bands
+        # per-actor shingle->hash memo: near-dup corpora repeat shingles
+        # heavily across documents, so each md5 is paid once per actor
+        self._hash_cache: dict[str, int] = {}
+
+    def _hash_shingles(self, shs: set[str]) -> np.ndarray:
+        cache = self._hash_cache
+        out = np.empty(len(shs), dtype=np.int64)
+        for i, s in enumerate(shs):
+            v = cache.get(s)
+            if v is None:
+                v = _shingle_hash(s)
+                if len(cache) < 2_000_000:  # bound actor heap
+                    cache[s] = v
+            out[i] = v
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -142,7 +215,7 @@ class MinHashStage:
             shs = set(shingles_of(tl, cfg.shingle_k))
             if not shs:
                 continue
-            h = np.array([_shingle_hash(s) for s in shs], dtype=np.int64)
+            h = self._hash_shingles(shs)
             m = (
                 (h[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE31
             ).min(axis=1)
@@ -188,41 +261,35 @@ def candidate_pairs(
             }
         )
 
-    pairs = (
+    from ray.data.aggregate import Count
+
+    # distinct pairs (a pair may collide in several bands): grouped count
+    # on the pair key, count dropped — stays a Dataset end to end
+    return (
         band_rows.map_batches(key_batch, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_of_group, batch_format="pyarrow")
-    )
-    # distinct pairs (a pair may collide in several bands)
-    def pair_key(t: pa.Table) -> pa.Table:
-        k = [
-            f"{x}:{y}"
-            for x, y in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())
-        ]
-        return t.append_column("pk", pa.array(k, type=pa.string()))
-
-    return (
-        pairs.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pk"])
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nbands"))
+        .drop_columns(["nbands"])
     )
 
 
 def pair_jaccard(
     shingle_ds: ray.data.Dataset,
     threshold: float,
-    pair_filter: frozenset[tuple[int, int]] | None = None,
+    pair_filter: "ray.ObjectRef | None" = None,
     hot_shingles: frozenset[str] | None = None,
 ) -> pa.Table:
     """Exact Jaccard via distributed inverted pair counting.
 
     groupby(shingle) emits co-occurring (doc_a, doc_b) rows (optionally
-    restricted to a broadcast candidate-pair set), a second groupby counts
-    shared shingles per pair, and |A∪B| = |A|+|B|-shared closes the
-    computation with per-doc set sizes (broadcast — one int per doc).
-    The heavy lifting (shingle grouping + pair emission) is distributed;
-    only pair decoding and the final small table land on the driver.
+    restricted to a candidate-pair set passed as an object ref and read
+    inside workers), a multi-key groupby counts shared shingles per pair,
+    and |A∪B| = |A|+|B|-shared closes the computation by hash-joining the
+    per-doc set sizes — a Dataset, never a driver dict — onto the pair
+    rows. Only the final thresholded pair table (the query result) is
+    collected.
     """
     from ray.data.aggregate import Count
 
@@ -237,37 +304,75 @@ def pair_jaccard(
         shingle_ds = shingle_ds.map_batches(drop_hot, batch_format="pyarrow")
     shingle_ds = shingle_ds.materialize()  # reused by sizes + pairs branches
 
-    sizes: dict[int, int] = {}
-    for t in _tables(shingle_ds.groupby("doc_id").aggregate(Count(alias_name="sz"))):
-        sizes.update(zip(t["doc_id"].to_pylist(), t["sz"].to_pylist()))
-    filt_ref = ray.put(pair_filter)
+    sizes = shingle_ds.groupby("doc_id").aggregate(Count(alias_name="sz"))
 
     def pairs_of_shingle(g: pa.Table) -> pa.Table:
-        filt = ray.get(filt_ref)
+        filt = ray.get(pair_filter) if pair_filter is not None else None
         ds_ = sorted(set(g["doc_id"].to_pylist()))
-        keys = []
+        a, b = [], []
         for x, y in itertools.combinations(ds_, 2):
             if filt is not None and (x, y) not in filt:
                 continue
-            keys.append(f"{x}:{y}")
-        return pa.table({"pk": pa.array(keys, type=pa.string())})
+            a.append(x)
+            b.append(y)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+            }
+        )
 
     pair_counts = (
         shingle_ds.groupby("shingle")
         .map_groups(pairs_of_shingle, batch_format="pyarrow")
-        .groupby("pk")
+        .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="shared"))
+    ).materialize()
+    if pair_counts.count() == 0:
+        return _empty_pairs("jaccard", pa.float64())
+
+    base_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("shared", pa.int64())]
+    )
+    with_a = cogroup_attach(
+        pair_counts, sizes, "doc_a", "doc_id", "sz", "sz_a", base_schema, pa.int64()
+    )
+    joined = cogroup_attach(
+        with_a,
+        sizes,
+        "doc_b",
+        "doc_id",
+        "sz",
+        "sz_b",
+        pa.schema(list(base_schema) + [pa.field("sz_a", pa.int64())]),
+        pa.int64(),
     )
 
-    rows = []
-    for t in _tables(pair_counts):
-        for pk, inter in zip(t["pk"].to_pylist(), t["shared"].to_pylist()):
-            x, y = (int(v) for v in pk.split(":"))
-            union = sizes[x] + sizes[y] - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                rows.append((x, y, round6(j)))
-    rows.sort()
+    def jaccard_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_pairs("jaccard", pa.float64())
+        inter = t["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz_a = t["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz_b = t["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = sz_a + sz_b - inter
+        j = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    t["doc_a"].to_numpy(zero_copy_only=False)[keep], type=pa.int64()
+                ),
+                "doc_b": pa.array(
+                    t["doc_b"].to_numpy(zero_copy_only=False)[keep], type=pa.int64()
+                ),
+                "jaccard": pa.array(round6(j[keep]), type=pa.float64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), float(r["jaccard"]))
+        for r in joined.map_batches(jaccard_batch, batch_format="pyarrow").take_all()
+    )
     return pa.table(
         {
             "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
@@ -289,22 +394,14 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    cand: set[tuple[int, int]] = set()
-    for t in _tables(candidate_pairs(band_rows)):
-        cand.update(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
-    if not cand:
-        return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "jaccard": pa.array([], type=pa.float64()),
-            }
-        )
+    cand_ds = candidate_pairs(band_rows).materialize()
+    if cand_ds.count() == 0:
+        return _empty_pairs("jaccard", pa.float64())
     shingle_ds = docs.map_batches(
         lambda t: shingle_rows_batch(t, cfg.shingle_k), batch_format="pyarrow"
     )
     return pair_jaccard(
-        shingle_ds, cfg.jaccard_threshold, pair_filter=frozenset(cand)
+        shingle_ds, cfg.jaccard_threshold, pair_filter=pair_set_ref(cand_ds)
     )
 
 
@@ -349,6 +446,20 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+# per-process token->hash memo for simhash (vocabulary is bounded; md5
+# paid once per distinct token per worker)
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _token_hash64(t: str) -> int:
+    v = _SIMHASH_TOKEN_CACHE.get(t)
+    if v is None:
+        v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        if len(_SIMHASH_TOKEN_CACHE) < 2_000_000:
+            _SIMHASH_TOKEN_CACHE[t] = v
+    return v
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash per doc: sum tf-weighted ±1 over md5-derived token
     bits, sign -> bit. Returned as 16-hex string (no int64 sign issues)."""
@@ -360,10 +471,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             out.append("0" * 16)
             continue
         uniq, counts = np.unique(np.array(tl, dtype=object), return_counts=True)
-        hs = np.array(
-            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in uniq],
-            dtype=np.uint64,
-        )
+        hs = np.array([_token_hash64(t) for t in uniq], dtype=np.uint64)
         bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         acc = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
         val = np.uint64(0)
@@ -379,36 +487,41 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _simhash_block_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> one LSH bucket row per 16-bit hex block."""
+    ids, keys = [], []
+    for d, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
+        for blk in range(4):
+            ids.append(d)
+            keys.append(f"{blk}:{h[blk * 4 : blk * 4 + 4]}")
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "bucket": pa.array(keys, type=pa.string()),
+        }
+    )
+
+
+def _hex_to_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return np.array([int(h, 16) for h in col.to_pylist()], dtype=np.uint64)
+
+
 def simhash_near_dup_pairs(
     docs: ray.data.Dataset, max_hamming: int = 8
 ) -> pa.Table:
     """Near-dup pairs by SimHash: bucket on 4x16-bit blocks (a pair within
     hamming <= 3 shares at least one block by pigeonhole; larger radii are
-    best-effort), verify exact hamming distance."""
+    best-effort), verify exact hamming distance.
 
-    def block_rows(t: pa.Table) -> pa.Table:
-        ids, blocks, keys = [], [], []
-        for d, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
-            for blk in range(4):
-                ids.append(d)
-                blocks.append(blk)
-                keys.append(f"{blk}:{h[blk * 4 : blk * 4 + 4]}")
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "bucket": pa.array(keys, type=pa.string()),
-            }
-        )
+    Scale shape: the per-doc simhash table stays a Dataset; candidate
+    pairs (distinct via grouped count) hash-join back to it twice to pick
+    up both hashes, and hamming verification runs vectorized inside
+    ``map_batches``. Only the final <=max_hamming pair table is collected.
+    """
+    from ray.data.aggregate import Count
 
-    sim = docs.map_batches(simhash_batch, batch_format="pyarrow")
-    sim_tbl = pa.concat_tables(list(_tables(sim)))
-    hashes = dict(
-        zip(sim_tbl["doc_id"].to_pylist(), sim_tbl["simhash"].to_pylist())
-    )
-
-    buckets = ray.data.from_arrow(sim_tbl).map_batches(
-        block_rows, batch_format="pyarrow"
-    )
+    sim = docs.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+    buckets = sim.map_batches(_simhash_block_rows, batch_format="pyarrow")
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
         docs_ = sorted(set(g["doc_id"].to_pylist()))
@@ -423,19 +536,53 @@ def simhash_near_dup_pairs(
             }
         )
 
-    cand = buckets.groupby("bucket").map_groups(
-        pairs_of_group, batch_format="pyarrow"
+    cand = (
+        buckets.groupby("bucket")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nblocks"))
+        .drop_columns(["nblocks"])
+    ).materialize()
+    if cand.count() == 0:
+        return _empty_pairs("hamming", pa.int64())
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    with_a = cogroup_attach(
+        cand, sim, "doc_a", "doc_id", "simhash", "simhash_a", pair_schema, pa.string()
     )
-    seen, rows = set(), []
-    for t in _tables(cand):
-        for x, y in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
-            d = bin(int(hashes[x], 16) ^ int(hashes[y], 16)).count("1")
-            if d <= max_hamming:
-                rows.append((x, y, d))
-    rows.sort()
+    joined = cogroup_attach(
+        with_a,
+        sim,
+        "doc_b",
+        "doc_id",
+        "simhash",
+        "simhash_b",
+        pa.schema(list(pair_schema) + [pa.field("simhash_a", pa.string())]),
+        pa.string(),
+    )
+
+    def hamming_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_pairs("hamming", pa.int64())
+        x = _hex_to_u64(t["simhash_a"]) ^ _hex_to_u64(t["simhash_b"])
+        d = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    t["doc_a"].to_numpy(zero_copy_only=False)[keep], type=pa.int64()
+                ),
+                "doc_b": pa.array(
+                    t["doc_b"].to_numpy(zero_copy_only=False)[keep], type=pa.int64()
+                ),
+                "hamming": pa.array(d[keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in joined.map_batches(hamming_batch, batch_format="pyarrow").take_all()
+    )
     return pa.table(
         {
             "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),

@@ -1,0 +1,105 @@
+"""Distributed doc-id set operations (anti/semi joins) + bounded broadcast.
+
+The reference's maintenance paths walk full id sets in one process
+(``/root/reference/src/pyf/aggregator/db.py:307-347`` id walks,
+``npm_main.py:336-348`` stale reconciliation, Redis dedup
+``queue.py:539-587``). At the 10^12-doc design point an id set must never
+be collected on the driver; these helpers express the set algebra as
+tag-union + grouped aggregates (hash-partitioned on the id), and the
+final SMALL result (tombstones, rerun overlap) is assembled inside a Ray
+task and broadcast by object ref.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_ID_SRC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("src", pa.int8())])
+
+
+def _tag(ds: ray.data.Dataset, col: str, src: int) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.column_names:
+            return _ID_SRC_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[col], pa.int64()),
+                "src": pa.array([src] * t.num_rows, type=pa.int8()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _minmax_src(left, right, col):
+    from ray.data.aggregate import Max, Min
+
+    u = _tag(left, col, 0).union(_tag(right, col, 1))
+    return u.groupby("doc_id").aggregate(
+        Min("src", alias_name="mn"), Max("src", alias_name="mx")
+    )
+
+
+def anti_join_ids(
+    left: ray.data.Dataset, right: ray.data.Dataset, col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Distinct ids present in ``left`` and absent from ``right``."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        return t.filter(pc.equal(t["mx"], 0)).select(["doc_id"])
+
+    return _minmax_src(left, right, col).map_batches(keep, batch_format="pyarrow")
+
+
+def semi_join_ids(
+    left: ray.data.Dataset, right: ray.data.Dataset, col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Distinct ids present in BOTH ``left`` and ``right``."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        mask = pc.and_(pc.equal(t["mn"], 0), pc.equal(t["mx"], 1))
+        return t.filter(mask).select(["doc_id"])
+
+    return _minmax_src(left, right, col).map_batches(keep, batch_format="pyarrow")
+
+
+@ray.remote
+def _id_array_task(*tables: pa.Table) -> np.ndarray:
+    parts = [
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for t in tables
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def id_array_ref(ids: ray.data.Dataset) -> "ray.ObjectRef":
+    """Sorted distinct int64 id array built inside a Ray task; the driver
+    only holds the object ref. Use for SMALL sets (tombstones, overlap)."""
+    return _id_array_task.remote(*ids.to_arrow_refs())
+
+
+def filter_out_ids(
+    ds: ray.data.Dataset, ids_ref: "ray.ObjectRef", col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Drop rows whose ``col`` is in the broadcast id array (vectorized)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        arr = ray.get(ids_ref)
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(~np.isin(vals, arr)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -107,6 +107,37 @@ def test_minhash_deterministic(dup_docs):
     assert r1.equals(r2)
 
 
+def test_dedup_scale_50k_no_driver_materialization(ray_session):
+    """50k-doc corpus end-to-end through MinHash-LSH and SimHash: the
+    pipelines complete with bounded driver state (per-doc sizes/hashes
+    stay Datasets, candidates live in the object store) and find exactly
+    the planted duplicate pairs."""
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(2000)])
+    n = 50_000
+    n_dups = 200
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(n)]
+    for i in range(n_dups):  # plant exact dups: (i, n - n_dups + i)
+        texts[n - n_dups + i] = texts[i]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(16).materialize()
+
+    mh = dedup.minhash_lsh_dedup(ds)
+    got = set(zip(mh["doc_a"].to_pylist(), mh["doc_b"].to_pylist()))
+    planted = {(i, n - n_dups + i) for i in range(n_dups)}
+    assert planted <= got
+    # random 12-token docs over a 2000-word vocab essentially never share
+    # a 3-shingle, so nothing beyond the planted pairs clears 0.5 Jaccard
+    assert got == planted
+
+    sh = dedup.simhash_near_dup_pairs(ds, max_hamming=0)
+    got_s = set(zip(sh["doc_a"].to_pylist(), sh["doc_b"].to_pylist()))
+    assert planted <= got_s
+
+
 def test_simhash_oracle(dup_docs):
     """Engine simhash values equal a direct per-doc recompute; near-dup
     pairs equal brute-force hamming filter restricted to bucket recall."""
