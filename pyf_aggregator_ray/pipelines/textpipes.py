@@ -353,10 +353,80 @@ ORDER BY query_vec_id, rank
 
 
 def ann_topk_lsh(sf_dir: str) -> pa.Table:
-    # approximate (recall < 1): rows-only driver check; recall asserted
+    # approximate (recall < 1) but DETERMINISTIC: the seeded hyperplane
+    # matrix is embedded in the SQL oracle below, which replicates
+    # bucket + hamming-1 probing exactly; recall additionally asserted
     # against brute force in tests/test_ann.py
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ann_stage.lsh_bucketed_topk(emb, ANN_QUERY_IDS, DEFAULT.ann_default_k)
+
+
+ANN_DIM = 64  # embeddings.parquet dim at every driver scale factor
+ANN_NUM_PLANES = 8
+
+
+def _plane_values() -> str:
+    """The engine's seeded hyperplane matrix as SQL literals (repr round-
+    trips float64 exactly)."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((ANN_NUM_PLANES, ANN_DIM))
+    return ",\n    ".join(
+        f"({p}, {j + 1}, {planes[p, j]!r})"
+        for p in range(ANN_NUM_PLANES)
+        for j in range(ANN_DIM)
+    )
+
+
+def ann_topk_lsh_sql() -> str:
+    k = DEFAULT.ann_default_k
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH planes(p, j, w) AS (VALUES
+    {_plane_values()}
+),
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dot
+  FROM comp c JOIN planes pl ON pl.j = c.j
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY 1
+),
+q AS (SELECT vec_id AS qid, bucket AS qb FROM sigs WHERE vec_id IN ({ids})),
+probe AS (
+  SELECT qid, qb AS pb FROM q
+  UNION
+  SELECT qid, xor(qb, (1::BIGINT << i.i)) AS pb
+  FROM q CROSS JOIN (SELECT unnest(range({ANN_NUM_PLANES})) AS i) i
+),
+cand AS (
+  SELECT DISTINCT p.qid, s.vec_id FROM probe p JOIN sigs s ON s.bucket = p.pb
+),
+scored AS (
+  SELECT c.qid AS query_vec_id, c.vec_id,
+         {sql_round6('list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[])')} AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank::BIGINT AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_vec_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -380,11 +450,87 @@ def _media_ds(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_image_features(sf_dir: str) -> ray.data.Dataset:
+    """Decode features flattened to 16 scalar histogram columns (h00..h15,
+    round6) so the driver's value-hash compares scalars, not lists."""
+    import numpy as np
+
+    from ..functions.rounding import round6
     from ..stages.multimodal import ImageFeatureStage
 
-    return _media_ds(sf_dir).map_batches(
+    feats = _media_ds(sf_dir).map_batches(
         ImageFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
     )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        cols = {
+            "doc_id": t["doc_id"],
+            "decoded_width": t["decoded_width"],
+            "decoded_height": t["decoded_height"],
+        }
+        arr = np.array(t["feature"].to_pylist(), dtype=np.float64)
+        for i in range(16):
+            cols[f"h{i:02d}"] = pa.array(round6(arr[:, i]), type=pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def _media_base_sql() -> str:
+    """Shared CTEs replicating synth_media_table's deterministic payload:
+    digest = sha256('42:' || doc_id), w/h from the first two digest
+    bytes, body = digest repeated to w*h*3 bytes."""
+    return """
+base AS (SELECT doc_id, sha256('42:' || doc_id::VARCHAR) AS hx FROM documents),
+dims AS (
+  SELECT doc_id, hx,
+         64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS w,
+         64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS h
+  FROM base
+),
+sized AS (
+  SELECT doc_id, hx, w, h,
+         (w * h * 3)::BIGINT AS nb,
+         ((w * h * 3) // 32)::BIGINT AS full_rep,
+         ((w * h * 3) % 32)::BIGINT AS rem
+  FROM dims
+)
+"""
+
+
+def _image_features_sql() -> str:
+    # body bytes are the 32-byte digest repeated; high nibble of byte i is
+    # hex char 2i. count(v) = full_rep * count_in_digest + count_in_prefix
+    a_cases = ",\n         ".join(
+        f"sum(CASE WHEN v = {v} THEN 1 ELSE 0 END)::BIGINT AS a{v}"
+        for v in range(16)
+    )
+    r_cases = ",\n         ".join(
+        f"sum(CASE WHEN v = {v} AND i < rem THEN 1 ELSE 0 END)::BIGINT AS r{v}"
+        for v in range(16)
+    )
+    h_cols = ",\n       ".join(
+        sql_round6(f"(s.full_rep * c.a{v} + c.r{v})::DOUBLE / s.nb")
+        + f" AS h{v:02d}"
+        for v in range(16)
+    )
+    return f"""
+WITH {_media_base_sql().strip()},
+nibs AS (
+  SELECT doc_id, rem, i.i AS i,
+         ('0x' || substr(hx, 2 * i.i + 1, 1))::INT AS v
+  FROM sized CROSS JOIN (SELECT unnest(range(32)) AS i) i
+),
+counts AS (
+  SELECT doc_id,
+         {a_cases},
+         {r_cases}
+  FROM nibs GROUP BY doc_id
+)
+SELECT s.doc_id, s.w::BIGINT AS decoded_width, s.h::BIGINT AS decoded_height,
+       {h_cols}
+FROM sized s JOIN counts c ON c.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
 
 
 def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
@@ -393,6 +539,24 @@ def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
     return _media_ds(sf_dir).map_batches(
         FrameSampleStage, batch_format="pyarrow", batch_size=64, concurrency=2
     )
+
+
+def _frame_sample_sql() -> str:
+    # 256-byte frames align with the 32-byte digest period, so every full
+    # frame's hex encoding is the digest hex repeated 8x; sampled indices
+    # are 0,4,8,... below n_frames = nb // 256 (nb >= 64*64*3 so >= 1)
+    return f"""
+WITH {_media_base_sql().strip()},
+frames AS (
+  SELECT doc_id, g.i AS frame_index,
+         substr(sha256(repeat(hx, 8)), 1, 16) AS frame_digest
+  FROM sized CROSS JOIN (SELECT unnest(range(0, 1024, 4)) AS i) g
+  WHERE g.i < (nb // 256)
+)
+SELECT doc_id, frame_index::BIGINT AS frame_index, frame_digest
+FROM frames
+ORDER BY doc_id, frame_index
+"""
 
 
 def register_all() -> None:
@@ -407,6 +571,6 @@ def register_all() -> None:
     r.register("ngram_jaccard_pairs", ngram_jaccard, NGRAM_JACCARD_SQL)
     r.register("simhash_near_dup", simhash_pairs, SIMHASH_SQL)
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
-    r.register("ann_topk_lsh", ann_topk_lsh, None)
-    r.register("media_image_features", media_image_features, None)
-    r.register("media_frame_sample", media_frame_sample, None)
+    r.register("ann_topk_lsh", ann_topk_lsh, ann_topk_lsh_sql())
+    r.register("media_image_features", media_image_features, _image_features_sql())
+    r.register("media_frame_sample", media_frame_sample, _frame_sample_sql())

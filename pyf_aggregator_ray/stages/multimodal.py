@@ -99,7 +99,13 @@ class ImageFeatureStage:
 class FrameSampleStage:
     """Actor-pool stage: 'video' payload -> one row PER SAMPLED FRAME
     (row-expanding map_batches, the reference's flat_map shape
-    ``npm_fetcher.py:664-702``: one input doc -> N output rows)."""
+    ``npm_fetcher.py:664-702``: one input doc -> N output rows).
+
+    The frame digest is sha256 over the frame's lowercase HEX encoding
+    (not the raw bytes): DuckDB's sha256 accepts only VARCHAR, and
+    hashing the hex string keeps the fingerprint independently
+    computable by the SQL oracle while remaining a faithful content
+    digest."""
 
     def __init__(self, every: int = 4, frame_bytes: int = 256):
         self.every = every
@@ -116,7 +122,9 @@ class FrameSampleStage:
                 frame = body[i * self.frame_bytes : (i + 1) * self.frame_bytes]
                 ids.append(d)
                 frame_idx.append(i)
-                digests.append(hashlib.sha256(frame).hexdigest()[:16])
+                digests.append(
+                    hashlib.sha256(frame.hex().encode()).hexdigest()[:16]
+                )
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
