@@ -95,6 +95,94 @@ def split_description(markdown: str | None, summary: str = "") -> dict[str, str]
     return out
 
 
+# ---------------------------------------------------------------------------
+# HTML-path splitter (reference render-then-split semantics)
+# ---------------------------------------------------------------------------
+
+_HTML_BLOCK_RE = re.compile(
+    r"<(h[1-6]|p|pre|ul|ol|blockquote)(?:\s[^>]*)?>.*?</\1>|<img\b[^>]*/?>",
+    re.S,
+)
+_HTML_TAG_RE = re.compile(r"<[^>]+>")
+_HTML_A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S)
+_HTML_IMG_TAG_RE = re.compile(r"<img\b[^>]*/?>")
+
+
+def _html_text(fragment: str) -> str:
+    """Plain text of an HTML fragment (reference ``get_element_text``)."""
+    import html as _h
+
+    return _h.unescape(_HTML_TAG_RE.sub("", fragment)).strip()
+
+
+def strip_html_links(s: str) -> str:
+    return _HTML_A_RE.sub(r"\1", s)
+
+
+def strip_html_images(s: str) -> str:
+    return _HTML_IMG_TAG_RE.sub("", s)
+
+
+def split_description_html(html_content: str | None) -> dict[str, str]:
+    """Split rendered HTML into the reference's weighted fields — a
+    behavioral mirror of ``plugins/description_splitter.py:129-253``
+    over the block-level HTML our renderer emits:
+
+    * title = plain text of the first heading (any level)
+    * starts-with-heading: first_chapter = [0, 2nd heading)
+    * starts-with-text:    first_chapter = [0, 1st heading) — the first
+      heading is EXCLUDED and main_content starts at it
+    * main_content runs to the changelog heading (or end)
+    * changelog = from the first changelog-matching heading onward
+    * links/images stripped from first_chapter
+    """
+    result = {"title": "", "first_chapter": "", "main_content": "", "changelog": ""}
+    if not html_content or not html_content.strip():
+        return result
+    blocks = [
+        (m.group(0), m.group(1) or "img")
+        for m in _HTML_BLOCK_RE.finditer(html_content)
+    ]
+    if not blocks:
+        result["first_chapter"] = html_content
+        return result
+
+    def serialize(a: int, b: int | None) -> str:
+        end = len(blocks) if b is None else b
+        if a >= len(blocks) or a >= end:
+            return ""
+        return "".join(h for h, _ in blocks[a:end])
+
+    headings = [i for i, (_, tag) in enumerate(blocks) if tag.startswith("h")]
+    if not headings:
+        result["first_chapter"] = serialize(0, None)
+    else:
+        result["title"] = _html_text(blocks[headings[0]][0])
+        changelog_idx = next(
+            (
+                i
+                for i in headings
+                if CHANGELOG_HEADING_RE.match(_html_text(blocks[i][0]))
+            ),
+            None,
+        )
+        starts_with_heading = headings[0] == 0
+        if starts_with_heading:
+            second = headings[1] if len(headings) > 1 else None
+            result["first_chapter"] = serialize(0, second)
+            if second is not None:
+                result["main_content"] = serialize(second, changelog_idx)
+        else:
+            result["first_chapter"] = serialize(0, headings[0])
+            result["main_content"] = serialize(headings[0], changelog_idx)
+        if changelog_idx is not None:
+            result["changelog"] = serialize(changelog_idx, None)
+    result["first_chapter"] = strip_html_images(
+        strip_html_links(result["first_chapter"])
+    )
+    return result
+
+
 _FRAMEWORK_RE = re.compile(
     r"^Framework :: (?P<framework>\w+.*) :: (?P<version>\d+.*)$", re.IGNORECASE
 )

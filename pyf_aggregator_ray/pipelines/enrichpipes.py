@@ -88,8 +88,8 @@ def package_transform(sf_dir: str):
         PackageChain, batch_format="pyarrow", batch_size=8, concurrency=2
     ).map_batches(validate_required, batch_format="pyarrow")
     return ds.select_columns(
-        ["name", "version", "version_sortable", "title", "repo_identifier",
-         "health_score", "registry"]
+        ["name", "version", "version_sortable", "title", "first_chapter",
+         "repo_identifier", "health_score", "registry"]
     )
 
 
@@ -123,8 +123,8 @@ def _package_chain_local():
 
     df = PackageChain()(synth_packages(24)).to_pandas()
     return df[
-        ["name", "version", "version_sortable", "title", "repo_identifier",
-         "health_score", "registry"]
+        ["name", "version", "version_sortable", "title", "first_chapter",
+         "repo_identifier", "health_score", "registry"]
     ]
 
 
@@ -141,6 +141,7 @@ def package_transform_sql() -> str:
             ", ".join(
                 [_sql_quote(r["name"]), _sql_quote(r["version"]),
                  _sql_quote(r["version_sortable"]), _sql_quote(r["title"]),
+                 _sql_quote(r["first_chapter"]),
                  _sql_quote(r["repo_identifier"]), str(int(r["health_score"])),
                  _sql_quote(r["registry"])]
             )
@@ -150,7 +151,7 @@ def package_transform_sql() -> str:
     return f"""
 SELECT * FROM (VALUES
     {rows}
-) AS t(name, version, version_sortable, title, repo_identifier, health_score, registry)
+) AS t(name, version, version_sortable, title, first_chapter, repo_identifier, health_score, registry)
 """
 
 

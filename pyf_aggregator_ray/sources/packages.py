@@ -30,12 +30,34 @@ content so scoring buckets are exercised for {name}.
 - 0.9: beta
 """
 
+_RST_TEMPLATE = """{name}
+{underline}
+
+A great package for things, documented in reStructuredText.
+
+Usage
+-----
+
+Import it and call ``functions`` for {name}.
+See `the docs <https://docs.example.org/{name}>`_.
+
+Changelog
+---------
+
+- 1.0: first release
+"""
+
+
+def _rst_description(name: str) -> str:
+    return _RST_TEMPLATE.format(name=name, underline="=" * (len(name) + 2))
+
 
 def synth_packages(n: int = 24, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     names, versions, classifiers, descriptions = [], [], [], []
     summaries, licenses, authors, maintainers = [], [], [], []
     timestamps, registries, urls, keywords = [], [], [], []
+    content_types: list[str | None] = []
     base_names = ["plone.api", "@plone/volto", "requests", "flask-login",
                   "zope.interface", "left-pad"]
     repo_urls = [
@@ -62,12 +84,20 @@ def synth_packages(n: int = 24, seed: int = 42) -> pa.Table:
         classifiers.append(cls)
         if i % 7 == 0:
             descriptions.append(None)  # null-description branch
+            content_types.append("text/markdown")
         elif i % 6 == 0:
             descriptions.append("plain text without any headings at all")
+            content_types.append("text/plain")
+        elif i % 5 == 4:
+            # rst rows: explicit content type on one, the reference's
+            # default-to-rst branch (None content type) on the others
+            descriptions.append(_rst_description(name))
+            content_types.append("text/x-rst" if i % 10 == 4 else None)
         else:
             descriptions.append(
                 _DESCRIPTION_TEMPLATE.format(name=name, url=repo_urls[i % len(repo_urls)])
             )
+            content_types.append("text/markdown")
         summaries.append("" if i % 4 == 0 else f"The {name} package")
         licenses.append(None if i % 5 == 0 else "GPL")
         authors.append("" if i % 3 == 0 else "Jane Dev")
@@ -85,6 +115,7 @@ def synth_packages(n: int = 24, seed: int = 42) -> pa.Table:
             "version": pa.array(versions),
             "classifiers": pa.array(classifiers, type=pa.list_(pa.string())),
             "description": pa.array(descriptions, type=pa.string()),
+            "description_content_type": pa.array(content_types, type=pa.string()),
             "summary": pa.array(summaries, type=pa.string()),
             "license": pa.array(licenses, type=pa.string()),
             "author": pa.array(authors, type=pa.string()),

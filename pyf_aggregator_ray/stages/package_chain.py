@@ -49,9 +49,39 @@ def plugin_classifier_extracts(doc: dict) -> None:
     doc["python_versions"] = tf.python_versions(doc.get("classifiers"))
 
 
+def plugin_renderer(doc: dict) -> None:
+    """M9: render the description to HTML by description_content_type and
+    shift headings down one level (reference ``plugins/rst_to_html.py:
+    10-85``). Only runs for documents that CARRY a content-type key (the
+    registry-metadata path); the code-corpus path has no content type and
+    keeps markdown-native splitting. The rendered HTML goes to
+    ``description_html`` (the original description is preserved)."""
+    if "description_content_type" not in doc:
+        return
+    from ..functions import rendering
+
+    html = rendering.render_description(
+        doc.get("description"), doc.get("description_content_type") or None
+    )
+    doc["description_html"] = rendering.shift_headings(html)
+
+
 def plugin_description_splitter(doc: dict) -> None:
-    fields = tf.split_description(doc.get("description"), doc.get("summary") or "")
-    doc.update(fields)
+    if "description_content_type" in doc:
+        # reference path: split the RENDERED html, then prepend summary
+        # (plugins/description_splitter.py:256-283 order)
+        fields = tf.split_description_html(doc.get("description_html") or "")
+        summary = doc.get("summary") or ""
+        if summary:
+            fields["first_chapter"] = (
+                f"{summary}\n\n{fields['first_chapter']}"
+                if fields["first_chapter"]
+                else summary
+            )
+        doc.update(fields)
+    else:
+        fields = tf.split_description(doc.get("description"), doc.get("summary") or "")
+        doc.update(fields)
 
 
 def plugin_repo_identifier(doc: dict) -> None:
@@ -68,6 +98,7 @@ DEFAULT_CHAIN: list[tuple[str, Plugin]] = [
     ("clean", plugin_clean),
     ("version_slicer", plugin_version_slicer),
     ("classifier_extracts", plugin_classifier_extracts),
+    ("renderer", plugin_renderer),
     ("description_splitter", plugin_description_splitter),
     ("repo_identifier", plugin_repo_identifier),
     ("health_score", plugin_health_score),
