@@ -364,57 +364,164 @@ def clean_data(doc: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# health score (reference-shaped: recency + docs + metadata, cap 100)
+# health score — NUMERIC PARITY with the reference
+# (plugins/health_score.py:78-311 + enrichers/health_calculator.py:104-323)
 # ---------------------------------------------------------------------------
 
 SECONDS_PER_DAY = 86_400
 
+_DOCS_URL_REPO_ROOT_RE = re.compile(
+    r"^https?://(www\.)?(github|gitlab)\.(com|io)/[^/]+/[^/]+(/?|#.*)$"
+)
+_DOC_URL_KEYWORDS = ("documentation", "docs", "homepage", "home")
+
+
+def is_meaningful_docs_url(url) -> bool:
+    """Reference ``health_score.py:147-177``: reject empty, PyPI detail
+    pages, and bare GitHub/GitLab repo roots (those aren't docs)."""
+    if not url or not isinstance(url, str):
+        return False
+    u = url.lower()
+    if "pypi.org/project/" in u:
+        return False
+    if _DOCS_URL_REPO_ROOT_RE.match(u):
+        return False
+    return True
+
+
+def _recency_score(upload_timestamp, now_ts: int) -> int:
+    """Reference buckets (``health_score.py:78-134``): <180d=40,
+    <365d=30, <730d=20, <1095d=10, <1825d=5, else 0; 0/missing ts = 0."""
+    if not upload_timestamp:
+        return 0
+    age_days = (now_ts - int(upload_timestamp)) // SECONDS_PER_DAY
+    if age_days < 180:
+        return 40
+    if age_days < 365:
+        return 30
+    if age_days < 730:
+        return 20
+    if age_days < 1095:
+        return 10
+    if age_days < 1825:
+        return 5
+    return 0
+
+
+def _docs_score(doc: dict) -> int:
+    """Reference ``health_score.py:180-252``: description >150 chars = 18
+    base; bonuses: meaningful docs_url +4, documentation project URL +3,
+    meaningful screenshots +5. The reference scores the RENDERED html
+    (rst_to_html replaces ``description``); the rendered path here keeps
+    it in ``description_html``."""
+    score = 0
+    if is_meaningful_docs_url(doc.get("docs_url")):
+        score += 4
+    desc = (
+        doc.get("description_html")
+        if "description_content_type" in doc
+        else doc.get("description")
+    ) or ""
+    if desc and len(desc) > 150:
+        score += 18
+    project_urls = doc.get("project_urls") or {}
+    if isinstance(project_urls, dict):
+        for key, url in project_urls.items():
+            if any(kw in str(key).lower() for kw in _DOC_URL_KEYWORDS):
+                if is_meaningful_docs_url(url):
+                    score += 3
+                    break
+    if desc and find_screenshots(desc):
+        score += 5
+    return score
+
+
+def _metadata_score(doc: dict) -> int:
+    """Reference ``health_score.py:265-311``: maintainer-or-author 10,
+    license 10, >=3 classifiers (pypi) / keywords (npm) 10."""
+    score = 0
+    if doc.get("maintainer") or doc.get("author"):
+        score += 10
+    if doc.get("license"):
+        score += 10
+    if (doc.get("registry") or "pypi") == "npm":
+        if len(doc.get("keywords") or []) >= 3:
+            score += 10
+    elif len(doc.get("classifiers") or []) >= 3:
+        score += 10
+    return score
+
+
+def _stars_bonus(stars: int) -> int:
+    """Reference ``health_calculator.py:225-248``."""
+    if stars >= 1000:
+        return 10
+    if stars >= 500:
+        return 7
+    if stars >= 100:
+        return 5
+    if stars >= 50:
+        return 3
+    if stars >= 10:
+        return 1
+    return 0
+
+
+def _activity_bonus(github_updated, now_ts: int) -> int:
+    """Reference ``health_calculator.py:250-284``."""
+    if not github_updated:
+        return 0
+    age_days = (now_ts - github_updated) / SECONDS_PER_DAY
+    if age_days < 30:
+        return 10
+    if age_days < 90:
+        return 7
+    if age_days < 180:
+        return 5
+    if age_days < 365:
+        return 3
+    return 0
+
+
+def _issue_bonus(open_issues: int, stars: int) -> int:
+    """Reference ``health_calculator.py:286-321``."""
+    if stars == 0:
+        return 0
+    ratio = open_issues / stars
+    if ratio < 0.1:
+        return 10
+    if ratio < 0.3:
+        return 7
+    if ratio < 0.5:
+        return 5
+    if ratio < 1.0:
+        return 3
+    return 0
+
 
 def health_score(doc: dict, now_ts: int) -> dict:
-    """Deterministic composite health score in [0, 100] with a structured
-    breakdown (reference shape: recency 0-40, docs 0-30, metadata 0-30,
-    capped — ``health_calculator.py:104-223``). ``now_ts`` must be passed
-    in (no wall clock: determinism requirement)."""
-    ts = doc.get("upload_timestamp") or 0
-    age_days = max(0, (now_ts - ts) / SECONDS_PER_DAY) if ts else None
-    if age_days is None:
-        recency = 0
-    elif age_days <= 30:
-        recency = 40
-    elif age_days <= 180:
-        recency = 30
-    elif age_days <= 365:
-        recency = 20
-    elif age_days <= 730:
-        recency = 10
-    else:
-        recency = 0
+    """Reference-exact composite health score: recency 0-40 + docs base
+    18 (+bonuses 4/3/5) + metadata 0-30 + GitHub bonuses <=30, capped at
+    100 (``health_calculator.py:104-223``). ``now_ts`` must be passed in
+    (no wall clock: determinism requirement)."""
+    recency = _recency_score(doc.get("upload_timestamp"), now_ts)
+    docs_score = _docs_score(doc)
+    meta = _metadata_score(doc)
 
-    desc = doc.get("description") or ""
-    words = len(re.findall(r"\w+", desc))
-    if words >= 500:
-        docs_score = 30
-    elif words >= 150:
-        docs_score = 20
-    elif words >= 50:
-        docs_score = 10
-    else:
-        docs_score = 0
+    github_bonus = 0
+    stars = doc.get("github_stars", 0) or 0
+    if stars:
+        github_bonus += _stars_bonus(stars)
+    if doc.get("github_updated"):
+        github_bonus += _activity_bonus(doc["github_updated"], now_ts)
+    if "github_open_issues" in doc and "github_stars" in doc and stars > 0:
+        github_bonus += _issue_bonus(doc.get("github_open_issues") or 0, stars)
 
-    meta = 0
-    if doc.get("summary"):
-        meta += 10
-    if doc.get("license"):
-        meta += 10
-    if doc.get("author") or doc.get("maintainer"):
-        meta += 5
-    if doc.get("classifiers"):
-        meta += 5
-
-    total = min(100, recency + docs_score + meta)
+    total = min(100, recency + docs_score + meta + github_bonus)
     return {
-        "health_score": total,
+        "health_score": int(total),
         "health_recency": recency,
         "health_docs": docs_score,
         "health_metadata": meta,
+        "health_github_bonus": github_bonus,
     }

@@ -154,26 +154,124 @@ class TestCleanData:
         assert out["registry"] == "pypi"
 
 
+DAY = 86_400
+
+
 class TestHealthScore:
-    def test_buckets_and_cap(self):
-        day = 86_400
-        fresh = {
-            "upload_timestamp": NOW_TS - 5 * day,
-            "description": "word " * 600,
-            "summary": "s",
-            "license": "MIT",
+    """Point assertions ported from the reference's exact thresholds
+    (tests/test_health_score.py; plugins/health_score.py:78-311;
+    enrichers/health_calculator.py:225-321)."""
+
+    def test_recency_buckets_reference_exact(self):
+        cases = [(90, 40), (270, 30), (540, 20), (912, 10), (1460, 5), (2000, 0)]
+        for days, expect in cases:
+            out = tf.health_score(
+                {"upload_timestamp": NOW_TS - days * DAY}, NOW_TS
+            )
+            assert out["health_recency"] == expect, days
+        assert tf.health_score({"upload_timestamp": 0}, NOW_TS)["health_recency"] == 0
+        assert tf.health_score({}, NOW_TS)["health_recency"] == 0
+
+    def test_empty_data_scores_zero(self):
+        out = tf.health_score({}, NOW_TS)
+        assert out["health_score"] == 0
+        assert out["health_docs"] == 0 and out["health_metadata"] == 0
+
+    def test_docs_description_base_18(self):
+        short = tf.health_score({"description": "x" * 150}, NOW_TS)
+        long = tf.health_score({"description": "x" * 151}, NOW_TS)
+        assert short["health_docs"] == 0
+        assert long["health_docs"] == 18
+
+    def test_docs_url_bonus_and_meaningfulness(self):
+        assert tf.is_meaningful_docs_url("https://pkg.readthedocs.io/")
+        assert not tf.is_meaningful_docs_url("https://pypi.org/project/x/")
+        assert not tf.is_meaningful_docs_url("https://github.com/a/b")
+        assert not tf.is_meaningful_docs_url("https://github.com/a/b/")
+        assert not tf.is_meaningful_docs_url("https://github.com/a/b#readme")
+        assert tf.is_meaningful_docs_url("https://github.com/a/b/wiki")
+        out = tf.health_score(
+            {"docs_url": "https://pkg.readthedocs.io/"}, NOW_TS
+        )
+        assert out["health_docs"] == 4
+
+    def test_docs_project_url_bonus(self):
+        out = tf.health_score(
+            {"project_urls": {"Documentation": "https://docs.example.org"}},
+            NOW_TS,
+        )
+        assert out["health_docs"] == 3
+        # non-doc keys / non-meaningful urls earn nothing
+        out2 = tf.health_score(
+            {"project_urls": {"Tracker": "https://docs.example.org",
+                              "Docs": "https://pypi.org/project/x/"}},
+            NOW_TS,
+        )
+        assert out2["health_docs"] == 0
+
+    def test_docs_screenshot_bonus(self):
+        desc = ("intro " * 40) + '<img src="https://cdn.example.org/shot.png" width="640">'
+        out = tf.health_score({"description": desc}, NOW_TS)
+        assert out["health_docs"] == 18 + 5
+
+    def test_metadata_10_10_10(self):
+        full = tf.health_score(
+            {"author": "a", "license": "MIT", "classifiers": ["a", "b", "c"]},
+            NOW_TS,
+        )
+        assert full["health_metadata"] == 30
+        # fewer than 3 classifiers -> no classifier points
+        two = tf.health_score(
+            {"maintainer": "m", "license": "MIT", "classifiers": ["a", "b"]},
+            NOW_TS,
+        )
+        assert two["health_metadata"] == 20
+        # npm counts keywords instead of classifiers
+        npm = tf.health_score(
+            {"registry": "npm", "keywords": ["x", "y", "z"]}, NOW_TS
+        )
+        assert npm["health_metadata"] == 10
+
+    def test_github_stars_bonus_tiers(self):
+        for stars, expect in [(1000, 10), (500, 7), (100, 5), (50, 3), (10, 1), (9, 0)]:
+            out = tf.health_score({"github_stars": stars}, NOW_TS)
+            assert out["health_github_bonus"] == expect, stars
+
+    def test_github_activity_bonus_tiers(self):
+        for days, expect in [(10, 10), (60, 7), (120, 5), (300, 3), (400, 0)]:
+            out = tf.health_score(
+                {"github_updated": NOW_TS - days * DAY}, NOW_TS
+            )
+            assert out["health_github_bonus"] == expect, days
+
+    def test_github_issue_ratio_tiers(self):
+        for issues, expect in [(5, 10), (20, 7), (40, 5), (90, 3), (150, 0)]:
+            out = tf.health_score(
+                {"github_stars": 100, "github_open_issues": issues}, NOW_TS
+            )
+            # stars=100 also earns the +5 stars bonus
+            assert out["health_github_bonus"] == 5 + expect, issues
+
+    def test_complete_package_scores_high_and_caps_at_100(self):
+        data = {
+            "upload_timestamp": NOW_TS - 5 * DAY,
+            "description": "word " * 100,
+            "docs_url": "https://pkg.readthedocs.io/",
+            "project_urls": {"Documentation": "https://docs.example.org"},
             "author": "a",
-            "classifiers": ["X"],
+            "license": "MIT",
+            "classifiers": ["a", "b", "c"],
+            "github_stars": 5000,
+            "github_updated": NOW_TS - 2 * DAY,
+            "github_open_issues": 10,
         }
-        out = tf.health_score(fresh, NOW_TS)
-        assert out["health_recency"] == 40
-        assert out["health_docs"] == 30
-        assert out["health_metadata"] == 30
+        out = tf.health_score(data, NOW_TS)
+        # 40 + (18+4+3) + 30 + (10+10+10) = 125 -> capped
         assert out["health_score"] == 100
-        stale = tf.health_score({"upload_timestamp": NOW_TS - 1000 * day}, NOW_TS)
-        assert stale["health_recency"] == 0 and stale["health_score"] == 0
-        no_ts = tf.health_score({}, NOW_TS)
-        assert no_ts["health_recency"] == 0
+        assert out["health_recency"] == 40
+        assert out["health_docs"] == 25
+        assert out["health_metadata"] == 30
+        assert out["health_github_bonus"] == 30
 
 
 def test_package_chain_end_to_end():
