@@ -185,3 +185,7 @@ _enrichpipes.register_all()
 from . import fieldsearch as _fieldsearch  # noqa: E402
 
 _fieldsearch.register_all()
+
+from . import npmpipes as _npmpipes  # noqa: E402
+
+_npmpipes.register_all()
