@@ -198,14 +198,21 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
             if t.num_rows
         ]
     )
-    seg_map = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    # broadcast as sorted key array + aligned values: per-batch lookup is
+    # one vectorized np.searchsorted, not a per-row dict probe
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys)
+    seg_ref = ray.put(
+        (keys[order], cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order])
     )
-    seg_ref = ray.put(seg_map)
 
     def join_batch(t: pa.Table) -> pa.Table:
-        m = ray.get(seg_ref)
-        segs = [m.get(k, "UNKNOWN") for k in t["o_custkey"].to_pylist()]
+        keys_s, segs_s = ray.get(seg_ref)
+        probe = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys_s, probe)
+        pos_c = np.clip(pos, 0, len(keys_s) - 1)
+        hit = keys_s[pos_c] == probe
+        segs = np.where(hit, segs_s[pos_c], "UNKNOWN")
         return pa.table(
             {
                 "segment": pa.array(segs, type=pa.string()),

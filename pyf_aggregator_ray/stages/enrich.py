@@ -16,6 +16,7 @@ Weight formula (identical in SQL oracle):  w = round6(1 + scale*ln(files)).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -77,11 +78,15 @@ def doc_weights_table(
     """(doc_id, repo, weight) — broadcast join of the weight map onto every
     document (ray.put once, dict lookup per batch; never re-shipped)."""
     cfg = cfg or DEFAULT
-    wref = ray.put(repo_weight_map(corpus, cfg))
+    wmap = repo_weight_map(corpus, cfg)
+    # broadcast as an indexed Series: per-batch lookup is one vectorized
+    # hash reindex, not a per-row dict probe
+    wref = ray.put(pd.Series(wmap, dtype=np.float64))
 
     def join(t: pa.Table) -> pa.Table:
         w = ray.get(wref)
-        weights = [w.get(r, 1.0) for r in t["repo"].to_pylist()]
+        repos = t["repo"].to_numpy(zero_copy_only=False)
+        weights = w.reindex(repos).fillna(1.0).to_numpy()
         return pa.table(
             {
                 "doc_id": t["doc_id"],

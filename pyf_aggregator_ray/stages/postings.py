@@ -172,16 +172,20 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
     starts = _group_starts(terms, np.zeros(len(terms), dtype=np.int64))
     ends = np.concatenate([starts[1:], [len(terms)]])
 
-    multi = np.flatnonzero(ends - starts > 1)
+    sizes = ends - starts
     df_arr = tbl["df"].to_numpy(zero_copy_only=False)
     cf_arr = tbl["cf"].to_numpy(zero_copy_only=False)
     first_arr = tbl["first_doc"].to_numpy(zero_copy_only=False)
     last_arr = tbl["last_doc"].to_numpy(zero_copy_only=False)
 
-    if len(multi) == 0:
-        return tbl.drop_columns(
-            [c for c in ("salt",) if c in tbl.column_names]
-        ).select(merged_schema().names)
+    # single-shard terms (the vast majority) pass through as ONE Arrow
+    # take — no per-row Python; only multi-shard (hot/salted) terms take
+    # the merge loop below
+    single_tbl = tbl.take(
+        pa.array(starts[sizes == 1], type=pa.int64())
+    ).select(merged_schema().names)
+    if not np.any(sizes > 1):
+        return single_tbl
 
     gaps_col = tbl["gaps"]
     tfs_col = tbl["tfs"]
@@ -189,20 +193,13 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
 
     o_term, o_df, o_cf, o_first, o_last = [], [], [], [], []
     o_gaps, o_tfs, o_dls = [], [], []
-    for s, e in zip(starts, ends):
+    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
         o_term.append(terms[s])
         o_df.append(int(df_arr[s:e].sum()))
         o_cf.append(int(cf_arr[s:e].sum()))
         o_first.append(int(first_arr[s]))
         o_last.append(int(last_arr[e - 1]))
-        if e - s == 1:
-            o_gaps.append(gaps_col[s].as_py())
-            o_tfs.append(tfs_col[s].as_py())
-            o_dls.append(dls_col[s].as_py())
-            continue
-        disjoint = all(
-            int(first_arr[i]) > int(last_arr[i - 1]) for i in range(s + 1, e)
-        )
+        disjoint = bool(np.all(first_arr[s + 1 : e] > last_arr[s : e - 1]))
         if disjoint:
             # fast path: shards are disjoint doc-id intervals (range
             # salting / aligned segments) -> ordered concat, rewriting
@@ -248,7 +245,7 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
             o_gaps.append(encode_varint(gaps))
             o_tfs.append(encode_varint(np.concatenate(tfs_l)[order]))
             o_dls.append(encode_varint(np.concatenate(dls_l)[order]))
-    return pa.table(
+    multi_tbl = pa.table(
         {
             "term": pa.array(o_term, type=pa.string()),
             "df": pa.array(o_df, type=pa.int64()),
@@ -259,6 +256,9 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
             "tfs": pa.array(o_tfs, type=pa.large_binary()),
             "dls": pa.array(o_dls, type=pa.large_binary()),
         }
+    )
+    return pa.concat_tables(
+        [single_tbl.cast(merged_schema()), multi_tbl]
     )
 
 
