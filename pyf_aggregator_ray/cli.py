@@ -62,7 +62,35 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index-root", required=True)
     g.add_argument("--keep", type=int, default=2)
 
+    pr = sub.add_parser("profiles", help="list/validate YAML profiles")
+    pr.add_argument("--profiles-path")
+    pr.add_argument("--profile", help="show one profile (validated)")
+
+    pk = sub.add_parser(
+        "packages",
+        help="profile-driven package pipeline: chain + classifier predicate "
+        "+ npm validity, auto-named target (reference `pyfa pypi -p`)",
+    )
+    pk.add_argument("--profile")
+    pk.add_argument("--target")
+    pk.add_argument("--profiles-path")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "profiles":  # no Ray needed
+        from .state.profiles import ProfileManager
+
+        pm = ProfileManager(args.profiles_path)
+        if args.profile:
+            prof = pm.get(args.profile)
+            print(json.dumps({
+                "key": prof.key, "name": prof.name, "target": prof.target,
+                "classifiers": prof.classifiers,
+                "npm": {"keywords": prof.npm_keywords, "scopes": prof.npm_scopes},
+            }))
+        else:
+            print(json.dumps({"profiles": pm.list_profiles()}))
+        return 0
 
     if args.cmd == "gc":  # no Ray needed
         from .state import manifest as mf
@@ -90,7 +118,11 @@ def main(argv: list[str] | None = None) -> int:
 
             reader = IndexReader(args.index_root)
             rows = reader.score(args.query, args.k)
-            print(json.dumps([{"rank": r, "doc_id": d, "score": round(s, 6)} for r, d, s in rows]))
+            from .functions.rounding import round6
+
+            # round6 (floor formula), NOT Python round: keeps single-query
+            # CLI output digit-identical with queryset/ScorerStage/oracles
+            print(json.dumps([{"rank": r, "doc_id": d, "score": round6(s)} for r, d, s in rows]))
         elif args.cmd == "queryset":
             from .pipelines.query import run_query_set
 
@@ -102,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
 
             manifest = incremental_update(args.index_root, read_corpus(args.sf_dir))
             print(json.dumps({"stats": manifest["stats"]}, default=str))
+        elif args.cmd == "packages":
+            from .pipelines.packagepipe import profile_package_run
+
+            print(json.dumps(profile_package_run(
+                profile=args.profile,
+                target=args.target,
+                profiles_path=args.profiles_path,
+            )))
     finally:
         ray.shutdown()
     return 0

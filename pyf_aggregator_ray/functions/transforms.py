@@ -235,10 +235,16 @@ RESERVED_OWNERS = frozenset(
 )
 
 
+_REPO_NAME_PART_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
 def extract_repo_identifier(url: str | None) -> str | None:
-    """URL -> 'owner/repo' or None; handles the 5 URL shapes, strips
-    query/fragment/.git and trailing path segments, rejects reserved
-    owners and malformed paths."""
+    """URL -> 'owner/repo' or None; handles the 5 URL shapes and strips
+    query/fragment/.git. Validation mirrors the reference's
+    ``is_valid_repo_identifier`` (``enrichers/github.py:101-113``):
+    exactly two path segments, both matching ``[A-Za-z0-9._-]+``, owner
+    not reserved — a deeper path (e.g. ``/tree/main``) is REJECTED, not
+    truncated."""
     if not url:
         return None
     url = url.strip()
@@ -252,12 +258,14 @@ def extract_repo_identifier(url: str | None) -> str | None:
         return None
     path = path.split("#", 1)[0].split("?", 1)[0]
     parts = [p for p in path.split("/") if p]
-    if len(parts) < 2:
+    if len(parts) != 2:
         return None
-    owner, repo = parts[0], parts[1]
+    owner, repo = parts
     if repo.endswith(".git"):
         repo = repo[: -len(".git")]
     if owner.lower() in RESERVED_OWNERS or not owner or not repo:
+        return None
+    if not (_REPO_NAME_PART_RE.match(owner) and _REPO_NAME_PART_RE.match(repo)):
         return None
     return f"{owner}/{repo}"
 

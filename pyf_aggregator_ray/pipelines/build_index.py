@@ -30,6 +30,7 @@ concat merge stays correct.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 import numpy as np
@@ -160,9 +161,23 @@ def build_index(
     """
     cfg = cfg or DEFAULT
     t0 = time.perf_counter()
-    version = mf.next_version(index_root)
+    version = None
+    if resumable:
+        # reuse an interrupted resumable build's vdir so its per-partition
+        # _SUCCESS checkpoints are consulted (a fresh v{N+1} would rebuild
+        # everything and orphan the checkpoints)
+        version = mf.find_unfinished_version(index_root)
+    if version is None:
+        version = mf.next_version(index_root)
     vdir = mf.version_dir(index_root, version)
     os.makedirs(vdir, exist_ok=True)
+    if resumable:
+        # only partials/ carries checkpoints; docs/ and postings/ from an
+        # interrupted attempt are rebuilt (never appended into)
+        for sub in ("docs", "postings"):
+            p = os.path.join(vdir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     metrics: dict = {}
 
     # Token blocks fan out ~10-30x from content bytes; cap block size so
@@ -376,6 +391,10 @@ def _build_partials(
             .map_groups(encode_partition, batch_format="pyarrow")
         )
         out_dir = os.path.join(vdir, "partials", f"part_{pid:05d}")
+        # a crashed attempt may have left files without the _SUCCESS
+        # marker — clear them so the rewrite can't duplicate rows
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
         encoded.write_parquet(out_dir)
         mf.mark_partition_done(
             vdir, pid, {"pid": pid, "doc_range": [lo, hi], "built_at": time.time()}

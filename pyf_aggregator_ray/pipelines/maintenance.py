@@ -223,7 +223,18 @@ def import_docs_jsonl(jsonl_dir: str) -> ray.data.Dataset:
     return ray.data.read_json(jsonl_dir)
 
 
-PRESERVED_FIELDS = ("health_score", "repo_identifier", "repo_url")
+# Enrichment-ONLY fields (the reference's GITHUB_FIELDS, main.py:17-25):
+# these are never recomputed by a refresh, so a falsy fresh value means
+# "missing" and coalescing from the old doc is correct. Fields the chain
+# RECOMPUTES (health_score, repo_identifier, ...) must NOT be listed —
+# a recomputed zero/empty is a real value and survives the refresh.
+PRESERVED_FIELDS = (
+    "github_stars",
+    "github_watchers",
+    "github_updated",
+    "github_open_issues",
+    "github_url",
+)
 
 
 def refresh_merge(
@@ -233,8 +244,10 @@ def refresh_merge(
     preserved: tuple[str, ...] = PRESERVED_FIELDS,
 ) -> ray.data.Dataset:
     """J3: re-fetched docs coalesce preserved (enrichment) fields from the
-    previous index where the fresh value is missing/empty. Implemented as
-    union-with-source-tag -> groupby(key) -> per-group coalesce."""
+    previous index where the fresh value is missing/falsy, and only when
+    the OLD value is truthy (reference ``main.py:118-125,155-159``).
+    Implemented as union-with-source-tag -> groupby(key) -> per-group
+    coalesce."""
 
     def tag(ds: ray.data.Dataset, source: str) -> ray.data.Dataset:
         return ds.map_batches(
@@ -257,8 +270,13 @@ def refresh_merge(
             for f in preserved:
                 if f not in out.columns or f not in old.columns:
                     continue
+                old_val = old_row[f]
+                # reference main.py:125: only truthy OLD values preserved
+                if pd.isna(old_val) or not old_val:
+                    continue
+                # reference main.py:157: fresh absent-or-falsy coalesces
                 missing = out[f].isna() | (out[f] == "") | (out[f] == 0)
-                out.loc[missing, f] = old_row[f]
+                out.loc[missing, f] = old_val
         return out.drop(columns=["_source"])
 
     return union.groupby(key).map_groups(coalesce, batch_format="pandas")

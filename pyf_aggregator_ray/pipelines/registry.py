@@ -27,24 +27,49 @@ from ..config import DEFAULT, EngineConfig
 from ..state import manifest as mf
 from . import query as q
 
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+# bump whenever the on-disk index layout, tokenizer rule, or scoring
+# contract changes incompatibly — stale caches then miss instead of
+# silently serving an old-format index
+ENGINE_FORMAT_VERSION = 2
+
+
+def _config_fingerprint(cfg: EngineConfig) -> str:
+    import json
+
+    payload = {
+        "format": ENGINE_FORMAT_VERSION,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "token_pattern": cfg.token_pattern,
+        "hot_df_threshold": cfg.hot_df_threshold,
+        "salt_range_docs": cfg.salt_range_docs,
+    }
+    return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:12]
 
 
 def ensure_index(sf_dir: str, cfg: EngineConfig | None = None) -> str:
-    """Build (or reuse) the index for sf_dir; returns the index root."""
+    """Build (or reuse) the index for sf_dir; returns the index root.
+
+    The cache key folds in a format/config fingerprint (engine format
+    version, k1/b, tokenizer pattern, salting knobs), so an index built
+    by an older code revision or a different EngineConfig is never
+    silently reused — it lands in a different directory and rebuilds."""
     cfg = cfg or DEFAULT
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    fp = _config_fingerprint(cfg)
+    key = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}-{fp}"
     root = os.path.join("/tmp", "pyfa_index_cache", key)
-    if sf_dir in _INDEX_CACHE:
-        return _INDEX_CACHE[sf_dir]
+    if (sf_dir, fp) in _INDEX_CACHE:
+        return _INDEX_CACHE[(sf_dir, fp)]
     live = mf.read_alias(root)
     if live and mf.read_manifest(live) and mf.read_manifest(live).get("sf_dir") == sf_dir:
-        _INDEX_CACHE[sf_dir] = root
+        _INDEX_CACHE[(sf_dir, fp)] = root
         return root
     from .build_index import build_index
 
     build_index(sf_dir, root, cfg)
-    _INDEX_CACHE[sf_dir] = root
+    _INDEX_CACHE[(sf_dir, fp)] = root
     return root
 
 

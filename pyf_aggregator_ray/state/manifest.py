@@ -83,6 +83,18 @@ def gc_old_versions(root: str, keep: int = 2) -> list[int]:
     return removed
 
 
+def find_unfinished_version(root: str) -> int | None:
+    """Latest version dir holding partition checkpoints (``partials/``)
+    but no manifest.json — an interrupted resumable build. A rerun with
+    ``resumable=True`` reuses this vdir so its _SUCCESS markers are
+    honored instead of starting a fresh v{N+1} from scratch."""
+    for v in reversed(list_versions(root)):
+        d = version_dir(root, v)
+        if read_manifest(d) is None and os.path.isdir(os.path.join(d, "partials")):
+            return v
+    return None
+
+
 def write_manifest(vdir: str, manifest: dict) -> None:
     manifest = dict(manifest)
     manifest.setdefault("written_at", time.time())

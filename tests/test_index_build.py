@@ -136,6 +136,55 @@ def test_resumable_build_identical_postings(
     assert os.path.getmtime(marker) == before
 
 
+def test_resumable_build_resumes_through_public_entry(
+    tmp_path, synth_corpus_table, built_index
+):
+    """A crashed `build --resumable` run leaves v{N}/partials with some
+    _SUCCESS markers and no manifest; a rerun through build_index() must
+    REUSE that version dir (not allocate v{N+1}), skip the completed
+    partitions, and finish to a correct index."""
+    import shutil
+
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import (
+        _build_partials,
+        build_index,
+    )
+
+    root = str(tmp_path / "crash_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    corpus = ray.data.from_arrow(synth_corpus_table)
+
+    # simulate the crashed first attempt: checkpoints for partitions
+    # 0-2 exist, partition 3 is incomplete, no manifest was written
+    vdir = os.path.join(root, "v1")
+    os.makedirs(vdir, exist_ok=True)
+    _build_partials("", vdir, cfg, corpus, 4)
+    shutil.rmtree(os.path.join(vdir, "partials", "part_00003"))
+    assert mf.read_manifest(vdir) is None
+
+    kept = os.path.getmtime(
+        os.path.join(vdir, "partials", "part_00001", "_SUCCESS")
+    )
+    manifest = build_index(
+        "", root, cfg, corpus=corpus, resumable=True, num_partitions=4
+    )
+    # same version reused, completed partitions untouched
+    assert manifest["version"] == 1
+    assert mf.read_alias(root) == vdir
+    assert os.path.getmtime(
+        os.path.join(vdir, "partials", "part_00001", "_SUCCESS")
+    ) == kept
+
+    # and the resumed index equals the from-scratch one
+    fast_root, _, _ = built_index
+    fast = load_postings(fast_root)
+    resumed = load_postings(root)
+    assert set(fast) == set(resumed)
+    for term in fast:
+        assert list(fast[term][1]) == list(resumed[term][1]), term
+
+
 def test_term_shuffle_strategy_identical(tmp_path, synth_corpus_table, built_index):
     """The explicit groupby(term) shuffle path and the default segment
     path must produce identical posting lists."""

@@ -95,19 +95,22 @@ def test_export_import_round_trip(small_index, tmp_path):
 def test_refresh_merge_preserves_enrichment():
     old = ray.data.from_items(
         [
-            {"name": "a", "version": "1.0", "health_score": 80, "repo_identifier": "o/a"},
-            {"name": "b", "version": "1.0", "health_score": 60, "repo_identifier": "o/b"},
-            {"name": "gone", "version": "1.0", "health_score": 10, "repo_identifier": "o/g"},
+            {"name": "a", "version": "1.0", "github_stars": 80, "github_url": "u/a"},
+            {"name": "b", "version": "1.0", "github_stars": 60, "github_url": "u/b"},
+            # old value falsy -> never preserved (reference main.py:125)
+            {"name": "d", "version": "1.0", "github_stars": 0, "github_url": ""},
+            {"name": "gone", "version": "1.0", "github_stars": 10, "github_url": "u/g"},
         ]
     )
     new = ray.data.from_items(
         [
             # refetched without enrichment -> coalesce from old
-            {"name": "a", "version": "2.0", "health_score": 0, "repo_identifier": ""},
+            {"name": "a", "version": "2.0", "github_stars": 0, "github_url": ""},
             # refetched WITH fresh enrichment -> keep new
-            {"name": "b", "version": "2.0", "health_score": 75, "repo_identifier": "o/b2"},
+            {"name": "b", "version": "2.0", "github_stars": 75, "github_url": "u/b2"},
             # brand new package, nothing to preserve
-            {"name": "c", "version": "0.1", "health_score": 0, "repo_identifier": ""},
+            {"name": "c", "version": "0.1", "github_stars": 0, "github_url": ""},
+            {"name": "d", "version": "2.0", "github_stars": 0, "github_url": ""},
         ]
     )
     merged = (
@@ -116,10 +119,26 @@ def test_refresh_merge_preserves_enrichment():
         .set_index("name")
         .sort_index()
     )
-    assert list(merged.index) == ["a", "b", "c"]  # 'gone' dropped (D3)
+    assert list(merged.index) == ["a", "b", "c", "d"]  # 'gone' dropped (D3)
     assert merged.loc["a", "version"] == "2.0"
-    assert merged.loc["a", "health_score"] == 80  # preserved
-    assert merged.loc["a", "repo_identifier"] == "o/a"  # preserved
-    assert merged.loc["b", "health_score"] == 75  # fresh wins
-    assert merged.loc["b", "repo_identifier"] == "o/b2"
-    assert merged.loc["c", "health_score"] == 0
+    assert merged.loc["a", "github_stars"] == 80  # preserved
+    assert merged.loc["a", "github_url"] == "u/a"  # preserved
+    assert merged.loc["b", "github_stars"] == 75  # fresh wins
+    assert merged.loc["b", "github_url"] == "u/b2"
+    assert merged.loc["c", "github_stars"] == 0
+    assert merged.loc["d", "github_stars"] == 0  # falsy old never clobbers
+
+
+def test_refresh_merge_keeps_recomputed_zero_scores():
+    """A field the chain RECOMPUTES (health_score) is not in
+    PRESERVED_FIELDS: a genuinely recomputed 0 must survive the refresh
+    instead of being overwritten by the stale old value."""
+    assert "health_score" not in mx.PRESERVED_FIELDS
+    old = ray.data.from_items(
+        [{"name": "a", "version": "1.0", "health_score": 80}]
+    )
+    new = ray.data.from_items(
+        [{"name": "a", "version": "2.0", "health_score": 0}]
+    )
+    merged = mx.refresh_merge(old, new).to_pandas()
+    assert merged.loc[0, "health_score"] == 0

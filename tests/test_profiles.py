@@ -1,0 +1,79 @@
+"""Profiles surface (§2.11): YAML loading/validation + profile-driven
+pipeline parameterization (reference profiles.py:7-157, cli_utils.py:
+46-110)."""
+
+import os
+
+import pytest
+
+from pyf_aggregator_ray.state.profiles import (
+    ProfileError,
+    ProfileManager,
+    resolve_profile,
+)
+
+
+def test_list_and_get_builtin_profiles():
+    pm = ProfileManager()
+    assert pm.list_profiles() == ["django", "flask", "plone"]
+    p = pm.get("plone")
+    assert p.name == "Plone"
+    assert p.target == "plone"  # auto-derived index name
+    assert "Framework :: Plone" in p.classifiers
+    assert p.npm_scopes == ["@plone"]
+    assert pm.validate_npm_profile("plone")
+    assert not pm.get("django").has_npm()
+
+
+def test_unknown_and_invalid_profiles(tmp_path):
+    pm = ProfileManager()
+    with pytest.raises(ProfileError, match="not found"):
+        pm.get("nope")
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("profiles:\n  x:\n    name: X\n    classifiers: []\n")
+    with pytest.raises(ProfileError, match="non-empty classifiers"):
+        ProfileManager(str(bad)).get("x")
+    noname = tmp_path / "noname.yaml"
+    noname.write_text("profiles:\n  y:\n    classifiers: ['A']\n")
+    with pytest.raises(ProfileError, match="missing 'name'"):
+        ProfileManager(str(noname)).get("y")
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("{}")
+    with pytest.raises(ProfileError, match="missing 'profiles'"):
+        ProfileManager(str(empty))
+    with pytest.raises(FileNotFoundError):
+        ProfileManager(str(tmp_path / "missing.yaml"))
+
+
+def test_resolve_profile_target_and_env(monkeypatch):
+    prof, target = resolve_profile("plone", None)
+    assert prof.key == "plone" and target == "plone"
+    prof, target = resolve_profile("plone", "custom")
+    assert target == "custom"
+    monkeypatch.setenv("PYFA_DEFAULT_PROFILE", "django")
+    prof, target = resolve_profile(None, None)
+    assert prof.key == "django" and target == "django"
+    monkeypatch.delenv("PYFA_DEFAULT_PROFILE")
+    with pytest.raises(ProfileError, match="Target index name"):
+        resolve_profile(None, None)
+    with pytest.raises(ProfileError, match="no npm configuration"):
+        resolve_profile("django", None, require_npm=True)
+
+
+def test_profile_driven_package_run(ray_session):
+    """The profile parameterizes BOTH predicates: plone's classifier
+    prefixes select the Framework :: Plone rows, and its npm scopes/
+    keywords select the valid npm rows — a profile without npm config
+    yields zero npm documents."""
+    from pyf_aggregator_ray.pipelines.packagepipe import profile_package_run
+
+    out = profile_package_run("plone")
+    assert out["target"] == "plone"
+    # fixture: 16 of 24 rows carry Framework :: Plone :: 6.0
+    assert out["n_pypi"] == 16
+    assert out["n_npm"] == 5  # same valid set as the npm_transform query
+    assert out["n_total"] == 21
+
+    django = profile_package_run("django")
+    assert django["n_pypi"] == 0  # no Django classifiers in the fixture
+    assert django["n_npm"] == 0  # no npm config on the profile

@@ -83,7 +83,10 @@ class TestRepoUrls:
         "url,expected",
         [
             ("https://github.com/plone/plone.api", "plone/plone.api"),
-            ("http://github.com/psf/requests/tree/main", "psf/requests"),
+            # reference is_valid_repo_identifier rejects !=2 path parts
+            # (github.py:101-113): deep paths are NOT truncated
+            ("http://github.com/psf/requests/tree/main", None),
+            ("https://github.com/own er/repo", None),  # charset rejected
             ("www.github.com/psf/requests", "psf/requests"),
             ("git://github.com/owner/repo.git", "owner/repo"),
             ("git+https://github.com/owner/repo.git", "owner/repo"),
