@@ -244,8 +244,12 @@ class ScorerStage:
     """
 
     def __init__(self, index_path: str, cfg: EngineConfig | None = None,
-                 doc_weights: dict[int, float] | None = None):
+                 doc_weights: "dict[int, float] | ray.ObjectRef | None" = None):
         self.reader = IndexReader(index_path, cfg)
+        # weights may arrive as an object ref (built inside a Ray task —
+        # the driver never holds the O(N) map); resolved once per actor
+        if isinstance(doc_weights, ray.ObjectRef):
+            doc_weights = ray.get(doc_weights)
         self.doc_weights = doc_weights
 
     def __call__(self, batch: pa.Table) -> pa.Table:

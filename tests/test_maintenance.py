@@ -75,6 +75,52 @@ def test_delete_by_predicate_registry_scoped(small_index, synth_corpus_table):
     assert "markdown" not in set(docs["lang"].to_pylist())
 
 
+def test_registry_isolation_invariants(small_index, synth_corpus_table):
+    """Reference registry-isolation suite (tests/test_registry_isolation.
+    py:60-359) ported to the lang discriminator: a scoped delete must
+    leave every other registry's documents bit-identical, keep the index
+    consistent with the survivor set, and be idempotent."""
+    import pyarrow.parquet as pq
+
+    root, cfg = small_index
+    before = pq.read_table(
+        os.path.join(mf.read_alias(root), "docs")
+    ).sort_by("doc_id")
+
+    mx.delete_by_predicate(root, "lang", "markdown", cfg)
+    after = pq.read_table(
+        os.path.join(mf.read_alias(root), "docs")
+    ).sort_by("doc_id")
+
+    # 1) other-registry docs untouched, byte for byte (ids, sha256, dl)
+    keep_mask = pa.compute.invert(
+        pa.compute.equal(before["lang"], "markdown")
+    )
+    survivors = before.filter(keep_mask)
+    assert after.equals(survivors)
+
+    # 2) postings reflect exactly the survivor set: equal to a naive
+    # index over surviving rows
+    surviving_rows = synth_corpus_table.filter(
+        pa.compute.invert(pa.compute.equal(synth_corpus_table["lang"], "markdown"))
+    )
+    oracle = naive_inverted_index(surviving_rows)
+    got = load_postings(root)
+    assert set(got) == set(oracle)
+    for term, postings in oracle.items():
+        _, ids, tfs, _ = got[term]
+        assert list(ids) == [p[0] for p in postings], term
+        assert list(tfs) == [p[1] for p in postings], term
+
+    # 3) idempotence: repeating the scoped delete tombstones nothing
+    m2 = mx.delete_by_predicate(root, "lang", "markdown", cfg)
+    assert m2["tombstones"] == 0
+    again = pq.read_table(
+        os.path.join(mf.read_alias(root), "docs")
+    ).sort_by("doc_id")
+    assert again.equals(after)
+
+
 def test_reconcile_stale(small_index, synth_corpus_table):
     root, cfg = small_index
     fresh = set(range(0, 250))  # docs 250+ vanished upstream
@@ -127,6 +173,23 @@ def test_refresh_merge_preserves_enrichment():
     assert merged.loc["b", "github_url"] == "u/b2"
     assert merged.loc["c", "github_stars"] == 0
     assert merged.loc["d", "github_stars"] == 0  # falsy old never clobbers
+
+
+def test_refresh_ids_identical_to_full_fetch():
+    """Reference invariant (test_registry_isolation.py:359): a refresh
+    writes exactly the ids a full fetch would — old-only packages drop,
+    new packages appear, versions come from the fresh fetch."""
+    old = ray.data.from_items(
+        [{"name": f"p{i}", "version": "1.0", "github_stars": i} for i in range(30)]
+    )
+    # fresh fetch: p10..p39 (p0..p9 vanished upstream, p30..p39 are new)
+    new_rows = [
+        {"name": f"p{i}", "version": "2.0", "github_stars": 0}
+        for i in range(10, 40)
+    ]
+    merged = mx.refresh_merge(old, ray.data.from_items(new_rows)).to_pandas()
+    assert sorted(merged["name"]) == sorted(r["name"] for r in new_rows)
+    assert (merged["version"] == "2.0").all()
 
 
 def test_refresh_merge_keeps_recomputed_zero_scores():
