@@ -182,9 +182,135 @@ SELECT * FROM (VALUES
 """
 
 
+def top_contributors(sf_dir: str):
+    """T3 + §1.4 nested-schema coverage: per package, the NEWEST version's
+    ``contributors`` (list<struct>) exploded with vectorized Arrow nested
+    kernels (flatten + value_parent_indices), top-5 by contributions desc
+    / username asc (reference ``github.py:500-525`` keeps the top 5;
+    newest-per-group = A2 ``sort_by upload_timestamp:desc``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..sources.packages import synth_packages
+
+    pkgs = ray.data.from_arrow(synth_packages(24)).repartition(3)
+
+    def newest(g: pa.Table) -> pa.Table:
+        # pure-Arrow argmax so the nested list<struct> column round-trips
+        # without a pandas object-dtype detour
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("upload_timestamp", "descending"), ("version", "ascending")],
+            null_placement="at_end",
+        )
+        return g.take(idx[:1]).select(["name", "contributors"])
+
+    newest_ds = pkgs.groupby("name").map_groups(newest, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("name", pa.string()), ("username", pa.string()),
+             ("contributions", pa.int64())]
+        )
+        if t.num_rows == 0 or "contributors" not in t.column_names:
+            return out_schema.empty_table()
+        col = t["contributors"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()  # StructArray of all entries
+        parent = col.value_parent_indices()
+        return pa.table(
+            {
+                "name": pc.take(t["name"], parent),
+                "username": flat.field("username"),
+                "contributions": pc.cast(flat.field("contributions"), pa.int64()),
+            }
+        )
+
+    def top5(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("contributions", "descending"), ("username", "ascending")],
+        )
+        top = g.take(idx[:5])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+        )
+
+    out = (
+        newest_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("name")
+        .map_groups(top5, batch_format="pyarrow")
+    )
+    df = (
+        out.to_pandas()
+        .sort_values(["name", "rank"])
+        .reset_index(drop=True)[["name", "rank", "username", "contributions"]]
+    )
+    import pyarrow as _pa
+
+    return _pa.Table.from_pandas(df, preserve_index=False)
+
+
+def top_contributors_sql() -> str:
+    """Input-embedding oracle: the fixture's (name, upload_timestamp,
+    version, contributors-as-JSON) rows as VALUES; newest-per-name +
+    unnest + rank re-derived in SQL."""
+    import json
+
+    from ..sources.packages import synth_packages
+
+    t = synth_packages(24)
+    rows = []
+    for i in range(t.num_rows):
+        ts = t["upload_timestamp"][i].as_py()
+        rows.append(
+            "({}, {}, {}, {})".format(
+                _sql_quote(t["name"][i].as_py()),
+                "NULL" if ts is None else int(ts),
+                _sql_quote(t["version"][i].as_py()),
+                _sql_quote(json.dumps(t["contributors"][i].as_py())),
+            )
+        )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH pkgs(name, upload_timestamp, version, contributors) AS (VALUES
+    {values}
+),
+newest AS (
+  SELECT name, contributors,
+         row_number() OVER (
+           PARTITION BY name
+           ORDER BY upload_timestamp DESC NULLS LAST, version ASC
+         ) AS rn
+  FROM pkgs
+),
+entries AS (
+  SELECT name, unnest(CAST(contributors::JSON AS JSON[])) AS e
+  FROM newest WHERE rn = 1
+),
+ranked AS (
+  SELECT name,
+         e->>'$.username' AS username,
+         (e->>'$.contributions')::BIGINT AS contributions,
+         row_number() OVER (
+           PARTITION BY name
+           ORDER BY (e->>'$.contributions')::BIGINT DESC, e->>'$.username' ASC
+         ) AS rank
+  FROM entries
+)
+SELECT name, rank, username, contributions
+FROM ranked WHERE rank <= 5
+ORDER BY name, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
+    r.register("top_contributors", top_contributors, top_contributors_sql())
     r.register("package_transform", package_transform, package_transform_sql())
     r.register(
         "latest_version_per_package", latest_version_per_package, latest_version_sql()

@@ -58,6 +58,7 @@ def synth_packages(n: int = 24, seed: int = 42) -> pa.Table:
     summaries, licenses, authors, maintainers = [], [], [], []
     timestamps, registries, urls, keywords = [], [], [], []
     content_types: list[str | None] = []
+    contributors: list[list[dict]] = []
     base_names = ["plone.api", "@plone/volto", "requests", "flask-login",
                   "zope.interface", "left-pad"]
     repo_urls = [
@@ -109,6 +110,18 @@ def synth_packages(n: int = 24, seed: int = 42) -> pa.Table:
         registries.append("npm" if name.startswith("@") or name == "left-pad" else "pypi")
         urls.append(repo_urls[i % len(repo_urls)])
         keywords.append("web, plone  cms" if i % 2 == 0 else None)
+        # nested column (reference db.py:233-238 contributors object[]):
+        # 0..6 entries, usernames distinct within a row
+        contributors.append(
+            [
+                {
+                    "username": f"user{(i + j) % 10}",
+                    "avatar_url": f"https://avatars.example.org/u{(i + j) % 10}",
+                    "contributions": int(((i + 1) * (j + 2) * 7) % 50),
+                }
+                for j in range((i * 3) % 7)
+            ]
+        )
     return pa.table(
         {
             "name": pa.array(names),
@@ -124,5 +137,17 @@ def synth_packages(n: int = 24, seed: int = 42) -> pa.Table:
             "registry": pa.array(registries),
             "home_page": pa.array(urls),
             "keywords": pa.array(keywords, type=pa.string()),
+            "contributors": pa.array(
+                contributors,
+                type=pa.list_(
+                    pa.struct(
+                        [
+                            ("username", pa.string()),
+                            ("avatar_url", pa.string()),
+                            ("contributions", pa.int64()),
+                        ]
+                    )
+                ),
+            ),
         }
     )
