@@ -58,8 +58,9 @@ class EngineConfig:
     shingle_k: int = 3  # word shingles
     jaccard_threshold: float = 0.5
 
-    # ---- ANN ----
+    # ---- ANN / embedding near-dup ----
     ann_default_k: int = 5
+    embedding_cosine_threshold: float = 0.4
 
 
 DEFAULT = EngineConfig()

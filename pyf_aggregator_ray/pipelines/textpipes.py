@@ -352,6 +352,25 @@ ORDER BY query_vec_id, rank
 """
 
 
+def embedding_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs over the embeddings table (the
+    dedup family's dense-vector member)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.cosine_near_dup_pairs(
+        emb, DEFAULT.embedding_cosine_threshold
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       {sql_round6('list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {DEFAULT.embedding_cosine_threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
 def ann_topk_lsh(sf_dir: str) -> pa.Table:
     # approximate (recall < 1) but DETERMINISTIC: the seeded hyperplane
     # matrix is embedded in the SQL oracle below, which replicates
@@ -570,6 +589,7 @@ def register_all() -> None:
     r.register("minhash_lsh_dedup", minhash_lsh, MINHASH_LSH_SQL)
     r.register("ngram_jaccard_pairs", ngram_jaccard, NGRAM_JACCARD_SQL)
     r.register("simhash_near_dup", simhash_pairs, SIMHASH_SQL)
+    r.register("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL)
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
     r.register("ann_topk_lsh", ann_topk_lsh, ann_topk_lsh_sql())
     r.register("media_image_features", media_image_features, _image_features_sql())

@@ -121,6 +121,62 @@ def brute_force_topk(
     )
 
 
+@ray.remote
+def _normalized_matrix_task(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble (sorted vec_ids, row-normalized matrix) inside a Ray task
+    — the driver only holds the object ref."""
+    tbls = [t for t in tables if t.num_rows]
+    full = pa.concat_tables(tbls).sort_by("vec_id")
+    ids = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, _normalize(_emb_matrix(full))
+
+
+def cosine_near_dup_pairs(
+    embeddings: ray.data.Dataset, threshold: float
+) -> pa.Table:
+    """Embedding-cosine near-dup: every unordered pair with cosine >=
+    threshold — (doc_a, doc_b, cosine), doc_a < doc_b.
+
+    Exact all-pairs baseline in the same shape as brute_force_topk: the
+    normalized matrix is assembled in a Ray task and broadcast once; each
+    batch computes a vectorized (batch x N) matmul and emits only its
+    above-threshold pairs (each pair exactly once via the id ordering).
+    At 10^9+ vectors the O(N*d) broadcast gives way to LSH banding
+    (hyperplane signatures as in lsh_bucketed_topk) with the same
+    per-pair verification.
+    """
+    mat_ref = _normalized_matrix_task.remote(*embeddings.to_arrow_refs())
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(mat_ref)
+        v = _normalize(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = v @ m_all.T  # (batch, N)
+        mask = (cos >= threshold) & (vids[:, None] < ids_all[None, :])
+        bi, aj = np.nonzero(mask)
+        return pa.table(
+            {
+                "doc_a": pa.array(vids[bi], type=pa.int64()),
+                "doc_b": pa.array(ids_all[aj], type=pa.int64()),
+                "cosine": pa.array(round6(cos[mask]), type=pa.float64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), float(r["cosine"]))
+        for r in embeddings.map_batches(
+            local_pairs, batch_format="pyarrow"
+        ).take_all()
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: ray.data.Dataset,
     query_vec_ids: list[int],

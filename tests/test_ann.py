@@ -94,3 +94,27 @@ def test_lsh_recall(emb_table):
         [len(by_q[q] & exact_by_q[q]) / len(exact_by_q[q]) for q in (0, 3, 50)]
     )
     assert recall > 0.4
+
+
+def test_cosine_near_dup_pairs(emb_table, ray_session):
+    """Exact embedding-cosine near-dup equals a local all-pairs oracle;
+    the planted same-direction pair is found with cosine 1.0."""
+    ds = ray.data.from_arrow(emb_table).repartition(4)
+    got = ann.cosine_near_dup_pairs(ds, threshold=0.8)
+    pairs = list(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    m = np.array(emb_table["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    expected = [
+        (a, b)
+        for a in range(len(m))
+        for b in range(a + 1, len(m))
+        if cos[a, b] >= 0.8
+    ]
+    assert pairs == expected
+    assert (3, 7) in pairs
+    d = dict(zip(pairs, got["cosine"].to_pylist()))
+    assert d[(3, 7)] == 1.0
+    # every reported cosine matches the oracle after round6
+    for (a, b), c in d.items():
+        assert c == round6(cos[a, b])
