@@ -191,7 +191,64 @@ ORDER BY name, version
 """
 
 
+def npm_version_expansion(sf_dir: str) -> pa.Table:
+    """S6: packument -> one row per version (row-expanding map_batches)
+    with the M5 ISO->unix timestamp parse."""
+    ds = ray.data.from_arrow(npm_src.synth_npm_packuments()).repartition(2)
+    expanded = ds.map_batches(
+        npm_src.expand_packument_batch, batch_format="pyarrow"
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "name": t["name"],
+                "version": t["version"],
+                "upload_timestamp": pa.array(
+                    [npm_src._iso_to_unix(x) for x in t["time_iso"].to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        expanded.map_batches(project, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["name", "version"])
+        .reset_index(drop=True)
+        .pipe(lambda df: pa.Table.from_pandas(df, preserve_index=False))
+    )
+
+
+def npm_version_expansion_sql() -> str:
+    rows = ",\n  ".join(
+        f"({_q(n)}, {_q(p)})"
+        for n, p in zip(
+            npm_src.synth_npm_packuments()["name"].to_pylist(),
+            npm_src.synth_npm_packuments()["packument"].to_pylist(),
+        )
+    )
+    return f"""
+WITH pk(name, packument) AS (VALUES
+  {rows}
+),
+vers AS (
+  SELECT name, packument,
+         unnest(json_keys(packument::JSON, '$.versions')) AS version
+  FROM pk
+)
+SELECT name, version,
+       epoch(CAST(packument::JSON->>('$.time."' || version || '"')
+                  AS TIMESTAMPTZ))::BIGINT AS upload_timestamp
+FROM vers
+ORDER BY name, version
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
     r.register("npm_transform", npm_transform, npm_transform_sql())
+    r.register(
+        "npm_version_expansion", npm_version_expansion, npm_version_expansion_sql()
+    )

@@ -59,6 +59,20 @@ _RAW_ROWS: list[tuple[str, str, str, dict, str]] = [
         "# Volto\n\nThe frontend.",
     ),
     (
+        "@plone/volto", "16.8.0", "2023-04-02T09:00:00Z",
+        {
+            "version": "16.8.0",
+            "description": "The Plone frontend",
+            "author": {"name": "Plone Foundation", "email": "info@plone.org"},
+            "maintainers": [{"name": "sneridagh", "email": "s@plone.org"}],
+            "keywords": ["react", "cms"],
+            "repository": {"url": "git+https://github.com/plone/volto.git"},
+            "dependencies": {"react": "^17.0.0"},
+            "license": "MIT",
+        },
+        "# Volto\n\nThe frontend.",
+    ),
+    (
         "@plone/registry", "2.1.0", "2023-11-02T08:00:00Z",
         {
             "version": "2.1.0",
@@ -125,7 +139,8 @@ _RAW_ROWS: list[tuple[str, str, str, dict, str]] = [
 
 
 def synth_npm_raw() -> pa.Table:
-    """Raw npm rows as the registry would return them (JSON documents)."""
+    """Raw npm rows as the registry would return them (JSON documents),
+    one row per (package, version)."""
     return pa.table(
         {
             "name": pa.array([r[0] for r in _RAW_ROWS], type=pa.string()),
@@ -136,6 +151,64 @@ def synth_npm_raw() -> pa.Table:
             ),
             "readme": pa.array([r[4] for r in _RAW_ROWS], type=pa.string()),
         }
+    )
+
+
+def synth_npm_packuments() -> pa.Table:
+    """One packument row per PACKAGE: the registry's real response shape —
+    a ``versions`` object keyed by version plus a ``time`` map and the
+    root-level readme (reference ``npm_fetcher.py:331-392``)."""
+    by_pkg: dict[str, dict] = {}
+    for name, version, time_iso, version_data, readme in _RAW_ROWS:
+        doc = by_pkg.setdefault(
+            name, {"versions": {}, "time": {}, "readme": readme}
+        )
+        doc["versions"][version] = version_data
+        doc["time"][version] = time_iso
+    names = sorted(by_pkg)
+    return pa.table(
+        {
+            "name": pa.array(names, type=pa.string()),
+            "packument": pa.array(
+                [json.dumps(by_pkg[n]) for n in names], type=pa.string()
+            ),
+        }
+    )
+
+
+def expand_packument_batch(t: pa.Table) -> pa.Table:
+    """S6 (1-row -> N-rows): one packument expands to one raw row per
+    version (reference ``_build_version_records``,
+    ``npm_fetcher.py:664-702``) — a row-expanding map_batches, the
+    Dataset-native flat_map shape."""
+    names, versions, times, raws, readmes = [], [], [], [], []
+    for name, packument in zip(
+        t["name"].to_pylist(), t["packument"].to_pylist()
+    ):
+        doc = json.loads(packument)
+        time_info = doc.get("time", {})
+        readme = doc.get("readme", "")
+        for version in sorted(doc.get("versions", {})):
+            names.append(name)
+            versions.append(version)
+            times.append(time_info.get(version, ""))
+            raws.append(json.dumps(doc["versions"][version]))
+            readmes.append(readme)
+    return pa.table(
+        {
+            "name": pa.array(names, type=pa.string()),
+            "version": pa.array(versions, type=pa.string()),
+            "time_iso": pa.array(times, type=pa.string()),
+            "raw": pa.array(raws, type=pa.string()),
+            "readme": pa.array(readmes, type=pa.string()),
+        }
+    )
+
+
+def npm_from_packuments(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Packument Dataset -> per-version raw rows -> unified documents."""
+    return npm_documents(
+        ds.map_batches(expand_packument_batch, batch_format="pyarrow")
     )
 
 

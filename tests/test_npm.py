@@ -75,10 +75,42 @@ def test_pipeline_filters_and_unifies(ray_session):
     # vue (string keywords iterate chars)
     assert sorted(out["name"]) == [
         "@plone/components", "@plone/registry", "@plone/volto",
-        "left-pad", "lodash",
+        "@plone/volto", "left-pad", "lodash",
     ]
     assert (out["registry"] == "npm").all()
     assert out.loc[out["name"] == "left-pad", "yanked"].iloc[0]
     # unified schema is stable and typed
     tbl = npm.npm_transform_batch(npm.synth_npm_raw())
     assert tbl.schema.equals(npm._UNIFIED_SCHEMA)
+
+
+def test_packument_expansion_equals_per_version_rows(ray_session):
+    """S6: one packument row expands to one raw row per version, and the
+    expanded pipeline yields the same unified documents as the
+    per-version source."""
+    pk = ray.data.from_arrow(npm.synth_npm_packuments())
+    expanded = pk.map_batches(
+        npm.expand_packument_batch, batch_format="pyarrow"
+    ).to_pandas()
+    raw = npm.synth_npm_raw().to_pandas()
+    key = ["name", "version"]
+    assert (
+        sorted(map(tuple, expanded[key].values.tolist()))
+        == sorted(map(tuple, raw[key].values.tolist()))
+    )
+    # volto is multi-version: genuinely 1 -> N
+    assert (expanded["name"] == "@plone/volto").sum() == 2
+
+    via_pk = (
+        npm.npm_from_packuments(pk)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    direct = (
+        npm.npm_documents(ray.data.from_arrow(npm.synth_npm_raw()))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert via_pk.equals(direct)

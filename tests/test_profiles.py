@@ -71,8 +71,8 @@ def test_profile_driven_package_run(ray_session):
     assert out["target"] == "plone"
     # fixture: 16 of 24 rows carry Framework :: Plone :: 6.0
     assert out["n_pypi"] == 16
-    assert out["n_npm"] == 5  # same valid set as the npm_transform query
-    assert out["n_total"] == 21
+    assert out["n_npm"] == 6  # same valid set as the npm_transform query
+    assert out["n_total"] == 22
 
     django = profile_package_run("django")
     assert django["n_pypi"] == 0  # no Django classifiers in the fixture
