@@ -168,6 +168,199 @@ FROM corpus
 """
 
 
+FACET_QUERY_IDS = (0, 1, 2, 5, 8)
+
+
+def bm25_facets(sf_dir: str) -> pa.Table:
+    """Faceted retrieval (reference: Typesense ``facet`` fields,
+    ``db.py:96-175``): per query, the number of MATCHING documents (OR
+    over distinct query terms) per ``lang`` facet.
+
+    Distributed shape: predicate-pushdown read of only the query terms'
+    posting rows -> vectorized decode into (query_id, doc_id) match rows
+    -> distinct via grouped count -> lang attached by the co-group join
+    (the docs side stays a Dataset) -> tiny grouped count result."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.tokenizer import tokenize_query
+    from ..stages.dedup import cogroup_attach
+    from ..stages.postings import decode_posting_row
+    from ray.data.aggregate import Count
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    term_q: dict[str, list[int]] = {}
+    for qid, query, _k in q.QUERY_SET:
+        if qid in FACET_QUERY_IDS:
+            for t in tokenize_query(query):
+                term_q.setdefault(t, []).append(qid)
+    terms_arr = pa.array(sorted(term_q), type=pa.string())
+
+    postings = ray.data.read_parquet(
+        os.path.join(vdir, "postings"),
+        columns=["term", "gaps", "tfs", "dls"],
+        filter=pc.field("term").isin(sorted(term_q)),
+    )
+
+    def match_rows(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return out_schema.empty_table()
+        qids, docs = [], []
+        for i in range(t.num_rows):
+            row = {c: t[c][i].as_py() for c in ("term", "gaps", "tfs", "dls")}
+            ids, _tfs, _dls = decode_posting_row(row)
+            for qid in term_q[row["term"]]:
+                qids.extend([qid] * len(ids))
+                docs.extend(ids.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+            }
+        )
+
+    matched = (
+        postings.map_batches(match_rows, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Count(alias_name="nterms"))
+        .drop_columns(["nterms"])
+    )
+    docs_ds = ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id", "lang"]
+    )
+    with_lang = cogroup_attach(
+        matched,
+        docs_ds,
+        "doc_id",
+        "doc_id",
+        "lang",
+        "lang",
+        pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())]),
+        pa.string(),
+    )
+    out = (
+        with_lang.groupby(["query_id", "lang"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["query_id", "lang"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _facet_query_values() -> str:
+    from ..functions.tokenizer import tokenize_query
+
+    rows = []
+    for qid, query, _k in q.QUERY_SET:
+        if qid in FACET_QUERY_IDS:
+            for t in tokenize_query(query):
+                rows.append(f"({qid}, '{t}')")
+    return ",\n    ".join(rows)
+
+
+def bm25_facets_sql() -> str:
+    return f"""
+WITH corpus AS ({q.CORPUS_SQL}),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+qterms(query_id, term) AS (VALUES
+    {_facet_query_values()}
+),
+matched AS (
+  SELECT DISTINCT qt.query_id, t.doc_id
+  FROM qterms qt JOIN toks t ON t.term = qt.term
+)
+SELECT m.query_id, c.lang, count(*)::BIGINT AS n_docs
+FROM matched m JOIN corpus c ON c.doc_id = m.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+SORTED_RETRIEVAL_TERM = "spark"
+SORTED_RETRIEVAL_K = 20
+
+
+def search_sorted_by_field(sf_dir: str) -> pa.Table:
+    """Sorted retrieval (reference T2: match then ``sort_by`` a document
+    field desc, ``db.py:403-426``): docs containing the term, ordered by
+    dl desc / doc_id asc, top 20. Per-block partial top-k (the dl stream
+    is already in the posting row) + tiny driver merge."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.postings import decode_posting_row
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    postings = ray.data.read_parquet(
+        os.path.join(vdir, "postings"),
+        columns=["term", "gaps", "tfs", "dls"],
+        filter=pc.field("term") == SORTED_RETRIEVAL_TERM,
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())])
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return out_schema.empty_table()
+        ids_l, dls_l = [], []
+        for i in range(t.num_rows):
+            row = {c: t[c][i].as_py() for c in ("term", "gaps", "tfs", "dls")}
+            ids, _tfs, dls = decode_posting_row(row)
+            ids_l.append(ids)
+            dls_l.append(dls)
+        ids = np.concatenate(ids_l)
+        dls = np.concatenate(dls_l)
+        top = np.lexsort((ids, -dls))[:SORTED_RETRIEVAL_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top], type=pa.int64()),
+                "dl": pa.array(dls[top], type=pa.int64()),
+            }
+        )
+
+    survivors = postings.map_batches(local_top, batch_format="pyarrow").take_all()
+    rows = sorted(
+        ((int(r["doc_id"]), int(r["dl"])) for r in survivors),
+        key=lambda x: (-x[1], x[0]),
+    )[:SORTED_RETRIEVAL_K]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "dl": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+SORTED_RETRIEVAL_SQL = f"""
+WITH corpus AS ({q.CORPUS_SQL}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = '{SORTED_RETRIEVAL_TERM}'
+),
+ranked AS (
+  SELECT m.doc_id, d.dl,
+         row_number() OVER (ORDER BY d.dl DESC, m.doc_id ASC) AS rank
+  FROM matched m JOIN dl d ON d.doc_id = m.doc_id
+)
+SELECT rank, doc_id, dl FROM ranked
+WHERE rank <= {SORTED_RETRIEVAL_K}
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -175,6 +368,8 @@ FROM corpus
 # name -> (callable, oracle_sql or None)
 _REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "bm25_topk": (bm25_topk, q.bm25_oracle_sql()),
+    "bm25_facets": (bm25_facets, bm25_facets_sql()),
+    "search_sorted_by_field": (search_sorted_by_field, SORTED_RETRIEVAL_SQL),
     "index_term_stats": (index_term_stats, TERM_STATS_SQL),
     "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
     "doc_sha256": (doc_sha256, DOC_SHA256_SQL),
