@@ -578,9 +578,83 @@ ORDER BY doc_id, frame_index
 """
 
 
+ANN_IVF_CENTROIDS = 16
+ANN_IVF_NPROBE = 4
+
+
+def ann_topk_ivf(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.ivf_topk(
+        emb,
+        ANN_QUERY_IDS,
+        DEFAULT.ann_default_k,
+        num_centroids=ANN_IVF_CENTROIDS,
+        nprobe=ANN_IVF_NPROBE,
+    )
+
+
+def _centroid_values() -> str:
+    cents = ann_stage.ivf_centroids(ANN_IVF_CENTROIDS, ANN_DIM)
+    return ",\n    ".join(
+        f"({p}, {j + 1}, {cents[p, j]!r})"
+        for p in range(ANN_IVF_CENTROIDS)
+        for j in range(ANN_DIM)
+    )
+
+
+def ann_topk_ivf_sql() -> str:
+    k = DEFAULT.ann_default_k
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH cent(p, j, w) AS (VALUES
+    {_centroid_values()}
+),
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT c.vec_id, ct.p, sum(c.x * ct.w) AS dot
+  FROM comp c JOIN cent ct ON ct.j = c.j
+  GROUP BY 1, 2
+),
+ranked_dots AS (
+  SELECT vec_id, p, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, p ASC) AS rn
+  FROM dots
+),
+assign AS (SELECT vec_id, p AS cluster FROM ranked_dots WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS qid, p AS cluster
+  FROM ranked_dots WHERE vec_id IN ({ids}) AND rn <= {ANN_IVF_NPROBE}
+),
+cand AS (
+  SELECT pr.qid, a.vec_id FROM probe pr JOIN assign a ON a.cluster = pr.cluster
+),
+scored AS (
+  SELECT c.qid AS query_vec_id, c.vec_id,
+         {sql_round6('list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[])')} AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+final AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank::BIGINT AS rank, vec_id, cosine
+FROM final WHERE rank <= {k}
+ORDER BY query_vec_id, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
+    r.register("ann_topk_ivf", ann_topk_ivf, ann_topk_ivf_sql())
     r.register("langid", langid, LANGID_SQL)
     r.register("token_count", token_count, TOKEN_COUNT_SQL)
     r.register("quality_score", quality, QUALITY_SQL)

@@ -121,6 +121,115 @@ def brute_force_topk(
     )
 
 
+def ivf_centroids(num_centroids: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic IVF 'codebook': seeded random directions, row-
+    normalized. (A learned k-means codebook would slot in here; the
+    fixed seeded one keeps the whole pipeline — and its SQL oracle —
+    deterministic.)"""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((num_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_vec_ids: list[int],
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """IVF-bucketed approximate top-k: vectors are assigned to their
+    nearest centroid (argmax raw-dot against the normalized codebook —
+    ties break to the lowest centroid id); each query scans only the
+    ``nprobe`` centroids closest to it. Same output schema and rounded-
+    cosine ranking as brute_force_topk; recall measured in tests, exact
+    replication in the SQL oracle."""
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    centroids = ivf_centroids(num_centroids, dim, seed)
+    cent_ref = ray.put(centroids)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _emb_matrix(t)
+        cluster = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(cluster, type=pa.int64()))
+
+    with_cluster = embeddings.map_batches(assign_batch, batch_format="pyarrow")
+    qtbl_refs = with_cluster.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(
+                t["vec_id"], value_set=pa.array(query_vec_ids, type=pa.int64())
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    qtbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in qtbl_refs) if t.num_rows]
+    ).sort_by("vec_id")
+    q_ids = qtbl["vec_id"].to_pylist()
+    q_mat = _normalize(_emb_matrix(qtbl))
+    q_raw = _emb_matrix(qtbl)
+    # probe set per query: nprobe nearest centroids (dot desc, id asc)
+    probe: dict[int, list[int]] = {}
+    for qi, qid in enumerate(q_ids):
+        dots = q_raw[qi] @ centroids.T
+        order = np.lexsort((np.arange(num_centroids), -dots))[:nprobe]
+        for c_id in order:
+            probe.setdefault(int(c_id), []).append(qid)
+    probe_ref = ray.put((probe, dict(zip(q_ids, range(len(q_ids)))), q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pr, qidx, qm = ray.get(probe_ref)
+        vecs = _normalize(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_c = [], [], []
+        for c_id in np.unique(clusters):
+            qids = pr.get(int(c_id))
+            if not qids:
+                continue
+            mask = clusters == c_id
+            sub = vecs[mask]
+            subids = vids[mask]
+            for qid in qids:
+                row = qm[qidx[qid]] @ sub.T
+                top = np.lexsort((subids, -round6(row)))[:k]
+                out_q.extend([qid] * len(top))
+                out_v.extend(subids[top].tolist())
+                out_c.extend(round6(row[top]).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partial = with_cluster.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_query(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((vids, -cos))[:k]
+        return pa.table(
+            {
+                "query_vec_id": g["query_vec_id"].take(pa.array(top)),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "vec_id": pa.array(vids[top], type=pa.int64()),
+                "cosine": pa.array(cos[top], type=pa.float64()),
+            }
+        )
+
+    out = partial.groupby("query_vec_id").map_groups(
+        merge_query, batch_format="pyarrow"
+    )
+    return _collect(out).sort_by(
+        [("query_vec_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 @ray.remote
 def _normalized_matrix_task(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Assemble (sorted vec_ids, row-normalized matrix) inside a Ray task

@@ -118,3 +118,23 @@ def test_cosine_near_dup_pairs(emb_table, ray_session):
     # every reported cosine matches the oracle after round6
     for (a, b), c in d.items():
         assert c == round6(cos[a, b])
+
+
+def test_ivf_recall(emb_table, ray_session):
+    """IVF-bucketed ANN: self always found, recall vs exact nontrivial,
+    every candidate genuinely belongs to a probed centroid."""
+    ds = ray.data.from_arrow(emb_table).repartition(4)
+    exact = ann.brute_force_topk(ds, [0, 3, 50], 5)
+    approx = ann.ivf_topk(ds, [0, 3, 50], 5, num_centroids=8, nprobe=3)
+    assert approx.schema.names == exact.schema.names
+    by_q, exact_by_q = {}, {}
+    for q, v in zip(approx["query_vec_id"].to_pylist(), approx["vec_id"].to_pylist()):
+        by_q.setdefault(q, set()).add(v)
+    for q, v in zip(exact["query_vec_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        exact_by_q.setdefault(q, set()).add(v)
+    for q in (0, 3, 50):
+        assert q in by_q[q]  # the query's own cluster is always probed
+    recall = np.mean(
+        [len(by_q[q] & exact_by_q[q]) / len(exact_by_q[q]) for q in (0, 3, 50)]
+    )
+    assert recall > 0.4
