@@ -241,40 +241,58 @@ def _iso_to_unix(iso: str) -> int:
 def npm_transform_doc(
     name: str, version: str, time_iso: str, version_data: dict, readme: str
 ) -> dict:
-    """M15: one npm version document -> the unified package schema."""
+    """M15: one npm version document -> the unified package schema.
+
+    Total on messy registry JSON (property-tested): the reference's
+    str-vs-dict coercions are preserved exactly, and any OTHER shape
+    (bools, numbers, wrong containers) degrades to the field's empty
+    default instead of raising."""
     npm_scope = name.split("/")[0].lstrip("@") if name.startswith("@") else ""
 
     repository = version_data.get("repository", {})
-    repository_url = (
-        repository if isinstance(repository, str) else repository.get("url", "")
-    )
+    if isinstance(repository, str):
+        repository_url = repository
+    elif isinstance(repository, dict):
+        repository_url = repository.get("url", "") or ""
+    else:
+        repository_url = ""
     home_page = version_data.get("homepage", "")
+    if not isinstance(home_page, str):
+        home_page = ""
     if not home_page and repository_url:
         home_page = normalize_git_url(repository_url) or ""
 
     author = version_data.get("author", {})
     if isinstance(author, str):
         author_name, author_email = author, ""
+    elif isinstance(author, dict):
+        author_name = author.get("name", "") or ""
+        author_email = author.get("email", "") or ""
     else:
-        author_name = author.get("name", "")
-        author_email = author.get("email", "")
+        author_name = author_email = ""
 
     maintainers = version_data.get("maintainers", [])
     maintainer_name = maintainer_email = ""
-    if maintainers:
+    if isinstance(maintainers, list) and maintainers:
         first = maintainers[0]
         if isinstance(first, str):
             maintainer_name = first
-        else:
-            maintainer_name = first.get("name", "")
-            maintainer_email = first.get("email", "")
+        elif isinstance(first, dict):
+            maintainer_name = first.get("name", "") or ""
+            maintainer_email = first.get("email", "") or ""
 
     keywords = version_data.get("keywords", [])
     if isinstance(keywords, str):
         keywords = [k.strip() for k in keywords.split(",") if k.strip()]
+    elif isinstance(keywords, list):
+        keywords = [k for k in keywords if isinstance(k, str)]
+    else:
+        keywords = []
 
     deps = version_data.get("dependencies", {})
-    requires_dist = [f"{k}@{v}" for k, v in deps.items()] if deps else []
+    requires_dist = (
+        [f"{k}@{v}" for k, v in deps.items()] if isinstance(deps, dict) else []
+    )
 
     quoted = quote(name, safe="")
     deprecated = version_data.get("deprecated", False)
@@ -283,14 +301,22 @@ def npm_transform_doc(
         "name": name,
         "name_sortable": name,
         "version": version,
-        "summary": version_data.get("description", ""),
+        "summary": (
+            version_data.get("description", "")
+            if isinstance(version_data.get("description", ""), str)
+            else ""
+        ),
         "description": readme or "",
         "description_content_type": "text/markdown",
         "author": author_name,
         "author_email": author_email,
         "maintainer": maintainer_name,
         "maintainer_email": maintainer_email,
-        "license": version_data.get("license", ""),
+        "license": (
+            version_data.get("license", "")
+            if isinstance(version_data.get("license", ""), str)
+            else ""
+        ),
         "keywords": keywords,
         "classifiers": [],
         "framework_versions": [],

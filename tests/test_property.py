@@ -53,3 +53,70 @@ def test_tokenizer_three_way_agreement(text):
     # restrict the assertion to the tokens' join (documents are code/text)
     if text.isascii():
         assert duck_toks == py_toks
+
+
+@given(st.text(max_size=400))
+def test_renderer_emits_wellformed_blocks(text):
+    """Any input renders (md/rst/txt) to block HTML the splitter can
+    re-parse without raising; heading shift never leaves h1 behind."""
+    from pyf_aggregator_ray.functions import rendering as rd
+    from pyf_aggregator_ray.functions.transforms import split_description_html
+
+    for ct in ("text/markdown", "text/x-rst", "text/plain", None):
+        html = rd.shift_headings(rd.render_description(text, ct))
+        assert "<h1>" not in html
+        fields = split_description_html(html)
+        assert set(fields) == {"title", "first_chapter", "main_content", "changelog"}
+        for v in fields.values():
+            assert isinstance(v, str)
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(
+            ["version", "description", "author", "maintainers", "keywords",
+             "repository", "homepage", "dependencies", "bugs", "deprecated",
+             "license"]
+        ),
+        st.one_of(
+            st.text(max_size=30),
+            st.booleans(),
+            st.lists(st.text(max_size=10), max_size=3),
+            st.dictionaries(st.text(max_size=8), st.text(max_size=10), max_size=3),
+        ),
+        max_size=6,
+    )
+)
+def test_npm_transform_total_on_messy_json(version_data):
+    """The npm transform must not raise on heterogeneous registry JSON
+    and always emits the unified field set with correct types."""
+    from pyf_aggregator_ray.sources.npm import _UNIFIED_SCHEMA, npm_transform_doc
+
+    doc = npm_transform_doc("@s/p", "1.0.0", "2024-01-01T00:00:00Z", version_data, "r")
+    assert set(doc) == set(_UNIFIED_SCHEMA.names)
+    assert isinstance(doc["keywords"], list)
+    assert isinstance(doc["requires_dist"], list)
+    assert isinstance(doc["yanked"], bool)
+    assert doc["registry"] == "npm" and doc["npm_scope"] == "s"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.text("ab", min_size=0, max_size=12)),
+        max_size=40,
+    )
+)
+def test_split_description_fields_partition_markdown(rows):
+    """Markdown-native splitter: the four fields never lose body lines —
+    every non-heading line of the input appears in some field."""
+    from pyf_aggregator_ray.functions.transforms import split_description
+
+    md = "\n".join(
+        ("#" * (1 + lvl % 3) + " h" + str(lvl)) if lvl % 7 == 0 else txt
+        for lvl, txt in rows
+    )
+    fields = split_description(md, "")
+    joined = "\n".join(fields.values())
+    for lvl, txt in rows:
+        if lvl % 7 != 0 and txt.strip() and "[" not in txt and "!" not in txt:
+            assert txt.strip() in joined or txt in joined
