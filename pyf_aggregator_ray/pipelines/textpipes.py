@@ -552,6 +552,76 @@ ORDER BY s.doc_id
 """
 
 
+def media_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Audio modality: decode synthetic audio payloads (actor pool) into
+    (n_samples, duration, RMS), round6-normalized for the oracle."""
+    from ..functions.rounding import round6
+    from ..stages.multimodal import AudioFeatureStage, synth_audio_table
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    audio = ids.map_batches(
+        lambda t: synth_audio_table(t["doc_id"].to_pylist()),
+        batch_format="pyarrow",
+    )
+    feats = audio.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_samples": t["n_samples"],
+                "duration_s": pa.array(
+                    round6(np.asarray(t["duration_s"])), type=pa.float64()
+                ),
+                "rms": pa.array(round6(np.asarray(t["rms"])), type=pa.float64()),
+            }
+        )
+
+    return feats.map_batches(norm, batch_format="pyarrow")
+
+
+def _audio_features_sql() -> str:
+    # body = digest repeated to n bytes; byte i of the digest is hex chars
+    # [2i+1, 2i+2]. sum((b-128)^2) over the body = full_rep * digest_sum +
+    # prefix_sum(rem); rate/length derive from the first two digest bytes.
+    return f"""
+WITH base AS (SELECT doc_id, sha256('42:' || doc_id::VARCHAR) AS hx FROM documents),
+params AS (
+  SELECT doc_id, hx,
+         8000 * (1 + ('0x' || substr(hx, 1, 2))::INT % 3) AS rate,
+         (4096 + ('0x' || substr(hx, 3, 2))::INT * 64)::BIGINT AS n
+  FROM base
+),
+sized AS (
+  SELECT doc_id, hx, rate, n, (n // 32)::BIGINT AS full_rep, (n % 32)::BIGINT AS rem
+  FROM params
+),
+bytes_ AS (
+  SELECT doc_id, rem, i.i AS i,
+         (('0x' || substr(hx, 2 * i.i + 1, 2))::INT - 128) AS centered
+  FROM sized CROSS JOIN (SELECT unnest(range(32)) AS i) i
+),
+sums AS (
+  SELECT doc_id,
+         sum(centered * centered)::BIGINT AS sq_all,
+         sum(CASE WHEN i < rem THEN centered * centered ELSE 0 END)::BIGINT AS sq_rem
+  FROM bytes_ GROUP BY doc_id
+)
+SELECT s.doc_id, s.n AS n_samples,
+       {sql_round6('s.n::DOUBLE / s.rate')} AS duration_s,
+       {sql_round6('sqrt((s.full_rep * m.sq_all + m.sq_rem)::DOUBLE / s.n)')} AS rms
+FROM sized s
+JOIN sums m ON m.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
     from ..stages.multimodal import FrameSampleStage
 
@@ -667,4 +737,5 @@ def register_all() -> None:
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
     r.register("ann_topk_lsh", ann_topk_lsh, ann_topk_lsh_sql())
     r.register("media_image_features", media_image_features, _image_features_sql())
+    r.register("media_audio_features", media_audio_features, _audio_features_sql())
     r.register("media_frame_sample", media_frame_sample, _frame_sample_sql())

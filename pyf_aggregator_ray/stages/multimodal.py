@@ -96,6 +96,81 @@ class ImageFeatureStage:
         )
 
 
+AUDIO_MAGIC = b"PYFA"
+AUDIO_HEADER = struct.Struct(">4sIB")  # magic, sample_rate, channels
+
+
+def synth_audio_table(doc_ids: list[int], seed: int = 42) -> pa.Table:
+    """Deterministic synthetic 'audio' payloads: parseable header plus a
+    mono 8-bit sample body derived from sha256(doc_id, seed) — sample
+    rate and length vary per doc from the digest's leading bytes."""
+    payloads, rates, lengths = [], [], []
+    for d in doc_ids:
+        h = hashlib.sha256(f"{seed}:{d}".encode()).digest()
+        rate = 8000 * (1 + h[0] % 3)  # 8/16/24 kHz
+        n = 4096 + h[1] * 64
+        body = (h * (n // len(h) + 1))[:n]
+        payloads.append(AUDIO_HEADER.pack(AUDIO_MAGIC, rate, 1) + body)
+        rates.append(rate)
+        lengths.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "media_type": pa.array(["audio/x-pyfa"] * len(doc_ids)),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "sample_rate": pa.array(rates, type=pa.int64()),
+            "n_samples": pa.array(lengths, type=pa.int64()),
+        }
+    )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode audio payloads -> (sample count, duration,
+    RMS amplitude). Real-codec hook mirrors ImageFeatureStage: if
+    soundfile/librosa were importable they'd decode here; in this
+    container the deterministic fake header/body parser runs."""
+
+    def __init__(self):
+        try:  # pragma: no cover - library not present in this container
+            import soundfile  # noqa: F401
+
+            self.codec = "soundfile"
+        except ImportError:
+            self.codec = "fake"
+
+    def _decode(self, payload: bytes) -> tuple[int, float, float]:
+        if self.codec == "soundfile":  # pragma: no cover
+            raise NotImplementedError(
+                "real audio decode intentionally not implemented in-sandbox; "
+                "plug in here when the codec library exists"
+            )
+        magic, rate, _ch = AUDIO_HEADER.unpack(payload[: AUDIO_HEADER.size])
+        if magic != AUDIO_MAGIC:
+            raise ValueError("bad audio payload header")
+        body = np.frombuffer(payload[AUDIO_HEADER.size :], dtype=np.uint8)
+        n = len(body)
+        duration = n / rate
+        rms = float(np.sqrt(np.sum((body.astype(np.float64) - 128.0) ** 2) / n))
+        return n, duration, rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ns, durs, rmss = [], [], []
+        for payload in batch["payload"].to_pylist():
+            n, dur, rms = self._decode(payload)
+            ns.append(n)
+            durs.append(dur)
+            rmss.append(rms)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "duration_s": pa.array(durs, type=pa.float64()),
+                "rms": pa.array(rmss, type=pa.float64()),
+            }
+        )
+
+
 class FrameSampleStage:
     """Actor-pool stage: 'video' payload -> one row PER SAMPLED FRAME
     (row-expanding map_batches, the reference's flat_map shape

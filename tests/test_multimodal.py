@@ -72,3 +72,45 @@ def test_frame_sampling_expands_rows(media):
         idx = sorted(g["frame_index"])
         assert idx[0] == 0
         assert all(b - a == 4 for a, b in zip(idx, idx[1:]))
+
+
+def test_audio_features_via_actor_pool():
+    from pyf_aggregator_ray.stages.multimodal import (
+        AudioFeatureStage,
+        synth_audio_table,
+    )
+
+    audio = synth_audio_table(list(range(16)))
+    assert audio["payload"].type == pa.large_binary()
+    out = (
+        ray.data.from_arrow(audio)
+        .map_batches(
+            AudioFeatureStage, batch_format="pyarrow", batch_size=8, concurrency=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # header round-trip: decoded sample counts equal the metadata column
+    assert out["n_samples"].tolist() == audio["n_samples"].to_pylist()
+    # duration = samples / rate
+    import numpy as np
+
+    rates = np.array(audio["sample_rate"].to_pylist(), dtype=np.float64)
+    assert np.allclose(out["duration_s"], out["n_samples"] / rates)
+    # uint8 body centered at 128 -> rms in (0, 128]
+    assert ((out["rms"] > 0) & (out["rms"] <= 128.0)).all()
+
+
+def test_bad_audio_payload_raises():
+    from pyf_aggregator_ray.stages.multimodal import AudioFeatureStage
+
+    stage = AudioFeatureStage()
+    bad = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([b"XXXX\0\0\0\0\0" + b"\0" * 32], type=pa.large_binary()),
+        }
+    )
+    with pytest.raises(ValueError, match="bad audio payload header"):
+        stage(bad)
