@@ -425,11 +425,10 @@ def _docs_score(doc: dict) -> int:
     score = 0
     if is_meaningful_docs_url(doc.get("docs_url")):
         score += 4
-    desc = (
-        doc.get("description_html")
-        if "description_content_type" in doc
-        else doc.get("description")
-    ) or ""
+    # score the RENDERED html when the renderer has produced it; fall back
+    # to the raw description so a doc scored outside the full chain (no
+    # renderer pass) keeps its docs points
+    desc = doc.get("description_html") or doc.get("description") or ""
     if desc and len(desc) > 150:
         score += 18
     project_urls = doc.get("project_urls") or {}

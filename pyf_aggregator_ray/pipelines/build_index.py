@@ -165,8 +165,14 @@ def build_index(
     if resumable:
         # reuse an interrupted resumable build's vdir so its per-partition
         # _SUCCESS checkpoints are consulted (a fresh v{N+1} would rebuild
-        # everything and orphan the checkpoints)
-        version = mf.find_unfinished_version(index_root)
+        # everything and orphan the checkpoints) — but ONLY if the
+        # partitioning config matches; stale checkpoints from a different
+        # num_partitions/salting layout would corrupt the merge
+        cand = mf.find_unfinished_version(index_root)
+        if cand is not None:
+            meta = mf.read_partials_meta(mf.version_dir(index_root, cand))
+            if meta == _partials_meta(cfg, num_partitions):
+                version = cand
     if version is None:
         version = mf.next_version(index_root)
     vdir = mf.version_dir(index_root, version)
@@ -346,6 +352,16 @@ def build_index(
     return manifest
 
 
+def _partials_meta(cfg: EngineConfig, num_partitions: int) -> dict:
+    """Checkpoint-compatibility fingerprint: a resumable rerun may only
+    reuse partials built with the same partitioning + salting layout."""
+    return {
+        "num_partitions": int(num_partitions),
+        "salt_range_docs": int(cfg.salt_range_docs),
+        "token_pattern": cfg.token_pattern,
+    }
+
+
 def _build_partials(
     sf_dir: str,
     vdir: str,
@@ -365,6 +381,7 @@ def _build_partials(
     def corpus_ds() -> ray.data.Dataset:
         return corpus if corpus is not None else read_corpus(sf_dir)
 
+    mf.write_partials_meta(vdir, _partials_meta(cfg, num_partitions))
     max_id = int(corpus_ds().aggregate(Max("doc_id"))["max(doc_id)"])
     width = max_id // num_partitions + 1
 

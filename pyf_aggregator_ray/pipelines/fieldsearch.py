@@ -108,14 +108,20 @@ class FieldDocStage:
 
     The real plugin chain (``stages.package_chain.PackageChain``) is
     composed once per actor (reference ST1 pattern) and applied per
-    batch; the description_splitter plugin in the chain produces the
-    weighted fields from the constructed markdown.
+    batch; the chain is SLICED to the plugins whose outputs BM25F
+    consumes (clean + description_splitter) — running health scoring /
+    repo extraction / version slicing per corpus document would be pure
+    wasted CPU on the hottest stage (their outputs are dropped by the
+    projection below).
     """
 
     def __init__(self) -> None:
-        from ..stages.package_chain import PackageChain
+        from ..stages.package_chain import DEFAULT_CHAIN, PackageChain
 
-        self.chain = PackageChain()
+        wanted = {"clean", "description_splitter"}
+        self.chain = PackageChain(
+            [(name, fn) for name, fn in DEFAULT_CHAIN if name in wanted]
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch["text"])
@@ -202,10 +208,17 @@ def score_queries(
 
     tf = tf.materialize()  # reused by stats / df / scoring branches
 
+    _empty = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("doc_id", pa.int64()), ("score", pa.float64())]
+    )
+
     # corpus stats: two scalars on the driver
     doclens = tf.groupby("doc").aggregate(Max("wdl"))
     stats = doclens.aggregate(Sum("max(wdl)"), Count())
-    n = int(stats["count()"])
+    n = int(stats["count()"] or 0)
+    if n == 0 or stats["sum(max(wdl))"] is None:
+        return _empty.empty_table()
     avg_wdl = float(stats["sum(max(wdl))"]) / n
 
     term_queries: dict[str, list[tuple[int, int]]] = {}

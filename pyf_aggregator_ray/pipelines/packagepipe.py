@@ -47,37 +47,15 @@ def profile_pypi_documents(
 def profile_npm_documents(
     raw_npm: ray.data.Dataset, profile: Profile
 ) -> ray.data.Dataset:
-    """npm validity (M16, profile-parameterized) + schema transform."""
-    import json as _json
-
+    """npm validity (M16, profile-parameterized) + schema transform —
+    the shared reader pipeline with the profile's scopes/keywords."""
     from ..sources import npm as npm_src
 
-    scopes = tuple(profile.npm_scopes)
-    keywords = tuple(profile.npm_keywords)
-
-    def transform(t: pa.Table) -> pa.Table:
-        out = []
-        for name, version, time_iso, raw, readme in zip(
-            t["name"].to_pylist(),
-            t["version"].to_pylist(),
-            t["time_iso"].to_pylist(),
-            t["raw"].to_pylist(),
-            t["readme"].to_pylist(),
-        ):
-            version_data = _json.loads(raw)
-            if not npm_src.npm_is_valid(
-                name, version_data.get("keywords", []),
-                scopes=scopes, filter_keywords=keywords,
-            ):
-                continue
-            out.append(
-                npm_src.npm_transform_doc(name, version, time_iso, version_data, readme)
-            )
-        if not out:
-            return npm_src._UNIFIED_SCHEMA.empty_table()
-        return pa.Table.from_pylist(out).cast(npm_src._UNIFIED_SCHEMA)
-
-    return raw_npm.map_batches(transform, batch_format="pyarrow")
+    return npm_src.npm_documents(
+        raw_npm,
+        scopes=tuple(profile.npm_scopes),
+        filter_keywords=tuple(profile.npm_keywords),
+    )
 
 
 def profile_package_run(

@@ -209,10 +209,13 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
     def join_batch(t: pa.Table) -> pa.Table:
         keys_s, segs_s = ray.get(seg_ref)
         probe = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(keys_s, probe)
-        pos_c = np.clip(pos, 0, len(keys_s) - 1)
-        hit = keys_s[pos_c] == probe
-        segs = np.where(hit, segs_s[pos_c], "UNKNOWN")
+        if len(keys_s) == 0:
+            segs = np.full(len(probe), "UNKNOWN", dtype=object)
+        else:
+            pos = np.searchsorted(keys_s, probe)
+            pos_c = np.clip(pos, 0, len(keys_s) - 1)
+            hit = keys_s[pos_c] == probe
+            segs = np.where(hit, segs_s[pos_c], "UNKNOWN")
         return pa.table(
             {
                 "segment": pa.array(segs, type=pa.string()),

@@ -386,10 +386,9 @@ ANN_NUM_PLANES = 8
 
 def _plane_values() -> str:
     """The engine's seeded hyperplane matrix as SQL literals (repr round-
-    trips float64 exactly)."""
-    import numpy as np
-
-    planes = np.random.default_rng(42).standard_normal((ANN_NUM_PLANES, ANN_DIM))
+    trips float64 exactly) — taken from the SAME helper the engine uses
+    (ann.lsh_planes) so the two sides cannot drift."""
+    planes = ann_stage.lsh_planes(ANN_NUM_PLANES, ANN_DIM)
     return ",\n    ".join(
         f"({p}, {j + 1}, {planes[p, j]!r})"
         for p in range(ANN_NUM_PLANES)

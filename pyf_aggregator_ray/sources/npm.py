@@ -41,7 +41,8 @@ NPM_FILTER_KEYWORDS = ("plone", "cms")
 
 
 # (name, version, time_iso, version_data, readme) — deterministic fixture
-# covering every transform branch; rows 3/6/7 are invalid per M16.
+# covering every transform branch; react, @other/pkg and vue are invalid
+# per M16 (keyword miss / foreign scope / string-keywords char iteration).
 _RAW_ROWS: list[tuple[str, str, str, dict, str]] = [
     (
         "@plone/volto", "17.0.0", "2024-01-15T10:30:00Z",
@@ -337,10 +338,15 @@ def npm_transform_doc(
     }
 
 
-def npm_transform_batch(t: pa.Table) -> pa.Table:
+def npm_transform_batch(
+    t: pa.Table,
+    scopes: tuple[str, ...] = NPM_FILTER_SCOPES,
+    filter_keywords: tuple[str, ...] = NPM_FILTER_KEYWORDS,
+) -> pa.Table:
     """Validity filter + schema transform over a raw npm batch (the
     reader's unit of work: parse each JSON document, coerce, emit the
-    unified schema)."""
+    unified schema). Scope/keyword filters are parameterizable (profile
+    surface)."""
     out = []
     for name, version, time_iso, raw, readme in zip(
         t["name"].to_pylist(),
@@ -350,7 +356,10 @@ def npm_transform_batch(t: pa.Table) -> pa.Table:
         t["readme"].to_pylist(),
     ):
         version_data = json.loads(raw)
-        if not npm_is_valid(name, version_data.get("keywords", [])):
+        if not npm_is_valid(
+            name, version_data.get("keywords", []),
+            scopes=scopes, filter_keywords=filter_keywords,
+        ):
             continue
         out.append(npm_transform_doc(name, version, time_iso, version_data, readme))
     if not out:
@@ -392,6 +401,13 @@ _UNIFIED_SCHEMA = pa.schema(
 )
 
 
-def npm_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
+def npm_documents(
+    ds: ray.data.Dataset,
+    scopes: tuple[str, ...] = NPM_FILTER_SCOPES,
+    filter_keywords: tuple[str, ...] = NPM_FILTER_KEYWORDS,
+) -> ray.data.Dataset:
     """Raw npm Dataset -> unified, validity-filtered document Dataset."""
-    return ds.map_batches(npm_transform_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: npm_transform_batch(t, scopes, filter_keywords),
+        batch_format="pyarrow",
+    )

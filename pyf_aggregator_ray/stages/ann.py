@@ -4,8 +4,11 @@ Brute-force cosine top-k is the exact baseline: the query matrix is
 broadcast once (ray.put), each batch computes a vectorized matmul and
 emits only its LOCAL top-k per query (partial top-k), and a final tiny
 groupby merges per-query heaps — the same partial+final shape as the
-postings build. The LSH-bucketed variant is the scale path (recall < 1,
-checked against brute force in tests, not against a SQL oracle).
+postings build. Two approximate scale paths share one bucketed scaffold:
+LSH (random-hyperplane signatures, hamming-1 probing) and IVF
+(nearest-centroid inverted file, nprobe probing); both are fully
+deterministic (seeded codebooks) and replicated exactly by their SQL
+oracles.
 
 Ranking determinism across engines: order by round(cosine, 6) DESC,
 vec_id ASC — the rounded score is the sort key in both the engine and
@@ -57,13 +60,11 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(col), dim)
 
 
-def brute_force_topk(
-    embeddings: ray.data.Dataset,
-    query_vec_ids: list[int],
-    k: int,
-) -> pa.Table:
-    """Exact cosine top-k: (query_vec_id, rank, vec_id, cosine)."""
-    qtbl_refs = embeddings.map_batches(
+def _query_rows(
+    ds: ray.data.Dataset, query_vec_ids: list[int]
+) -> pa.Table | None:
+    """The query vectors' rows (vec_id-sorted), or None if absent."""
+    refs = ds.map_batches(
         lambda t: t.filter(
             pa.compute.is_in(
                 t["vec_id"], value_set=pa.array(query_vec_ids, type=pa.int64())
@@ -71,9 +72,21 @@ def brute_force_topk(
         ),
         batch_format="pyarrow",
     ).to_arrow_refs()
-    qtbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in qtbl_refs) if t.num_rows]
-    ).sort_by("vec_id")
+    tbls = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls).sort_by("vec_id")
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    query_vec_ids: list[int],
+    k: int,
+) -> pa.Table:
+    """Exact cosine top-k: (query_vec_id, rank, vec_id, cosine)."""
+    qtbl = _query_rows(embeddings, query_vec_ids)
+    if qtbl is None:
+        return _OUT_SCHEMA.empty_table()
     q_ids = qtbl["vec_id"].to_pylist()
     q_mat = _normalize(_emb_matrix(qtbl))
     q_ref = ray.put((q_ids, q_mat))
@@ -121,6 +134,120 @@ def brute_force_topk(
     )
 
 
+def _bucketed_topk(
+    with_assign: ray.data.Dataset,
+    assign_col: str,
+    probe: dict[int, list[int]],
+    q_ids: list[int],
+    q_mat: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Shared scaffold for the bucketed approximate variants (LSH / IVF):
+    score each query only against the vectors whose ``assign_col`` value
+    is in the query's probe set; partial per-batch top-k, per-query merge
+    (deduped by vec_id — a vector probed through several buckets counts
+    once), rounded-cosine ranking."""
+    probe_ref = ray.put((probe, dict(zip(q_ids, range(len(q_ids)))), q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pr, qidx, qm = ray.get(probe_ref)
+        vecs = _normalize(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        assigns = batch[assign_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_c = [], [], []
+        for b in np.unique(assigns):
+            qids = pr.get(int(b))
+            if not qids:
+                continue
+            mask = assigns == b
+            sub = vecs[mask]
+            subids = vids[mask]
+            for qid in qids:
+                row = qm[qidx[qid]] @ sub.T
+                top = np.lexsort((subids, -round6(row)))[:k]
+                out_q.extend([qid] * len(top))
+                out_v.extend(subids[top].tolist())
+                out_c.extend(round6(row[top]).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partial = with_assign.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_query(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(vids, return_index=True)
+        vids, cos = vids[first_idx], cos[first_idx]
+        top = np.lexsort((vids, -cos))[:k]
+        return pa.table(
+            {
+                "query_vec_id": g["query_vec_id"].take(pa.array(first_idx[top])),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "vec_id": pa.array(vids[top], type=pa.int64()),
+                "cosine": pa.array(cos[top], type=pa.float64()),
+            }
+        )
+
+    out = partial.groupby("query_vec_id").map_groups(
+        merge_query, batch_format="pyarrow"
+    )
+    return _collect(out).sort_by(
+        [("query_vec_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+def lsh_planes(num_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """The seeded hyperplane matrix — shared by the engine and the SQL
+    oracle (which embeds it as literals) so neither can drift."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def lsh_bucketed_topk(
+    embeddings: ray.data.Dataset,
+    query_vec_ids: list[int],
+    k: int,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane signatures bucket vectors; each
+    query searches only its bucket plus hamming<=1 neighbor buckets. Same
+    output schema as brute_force_topk; recall measured in tests."""
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes = lsh_planes(num_planes, dim, seed)
+    planes_ref = ray.put(planes)
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _emb_matrix(t)
+        bits = (m @ pl.T) > 0
+        sig = np.zeros(len(m), dtype=np.int64)
+        for i in range(pl.shape[0]):
+            sig |= bits[:, i].astype(np.int64) << i
+        return t.append_column("bucket", pa.array(sig, type=pa.int64()))
+
+    with_sig = embeddings.map_batches(sig_batch, batch_format="pyarrow")
+    qtbl = _query_rows(with_sig, query_vec_ids)
+    if qtbl is None:
+        return _OUT_SCHEMA.empty_table()
+    q_ids = qtbl["vec_id"].to_pylist()
+    q_mat = _normalize(_emb_matrix(qtbl))
+    q_sigs = qtbl["bucket"].to_pylist()
+    # probe set: own bucket + hamming-1 neighbors
+    probe: dict[int, list[int]] = {}
+    for qid, s in zip(q_ids, q_sigs):
+        buckets = {s} | {s ^ (1 << i) for i in range(num_planes)}
+        for b in buckets:
+            probe.setdefault(b, []).append(qid)
+    return _bucketed_topk(with_sig, "bucket", probe, q_ids, q_mat, k)
+
+
 def ivf_centroids(num_centroids: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic IVF 'codebook': seeded random directions, row-
     normalized. (A learned k-means codebook would slot in here; the
@@ -157,17 +284,9 @@ def ivf_topk(
         return t.append_column("cluster", pa.array(cluster, type=pa.int64()))
 
     with_cluster = embeddings.map_batches(assign_batch, batch_format="pyarrow")
-    qtbl_refs = with_cluster.map_batches(
-        lambda t: t.filter(
-            pa.compute.is_in(
-                t["vec_id"], value_set=pa.array(query_vec_ids, type=pa.int64())
-            )
-        ),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
-    qtbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in qtbl_refs) if t.num_rows]
-    ).sort_by("vec_id")
+    qtbl = _query_rows(with_cluster, query_vec_ids)
+    if qtbl is None:
+        return _OUT_SCHEMA.empty_table()
     q_ids = qtbl["vec_id"].to_pylist()
     q_mat = _normalize(_emb_matrix(qtbl))
     q_raw = _emb_matrix(qtbl)
@@ -178,63 +297,16 @@ def ivf_topk(
         order = np.lexsort((np.arange(num_centroids), -dots))[:nprobe]
         for c_id in order:
             probe.setdefault(int(c_id), []).append(qid)
-    probe_ref = ray.put((probe, dict(zip(q_ids, range(len(q_ids)))), q_mat))
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        pr, qidx, qm = ray.get(probe_ref)
-        vecs = _normalize(_emb_matrix(batch))
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
-        out_q, out_v, out_c = [], [], []
-        for c_id in np.unique(clusters):
-            qids = pr.get(int(c_id))
-            if not qids:
-                continue
-            mask = clusters == c_id
-            sub = vecs[mask]
-            subids = vids[mask]
-            for qid in qids:
-                row = qm[qidx[qid]] @ sub.T
-                top = np.lexsort((subids, -round6(row)))[:k]
-                out_q.extend([qid] * len(top))
-                out_v.extend(subids[top].tolist())
-                out_c.extend(round6(row[top]).tolist())
-        return pa.table(
-            {
-                "query_vec_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cosine": pa.array(out_c, type=pa.float64()),
-            }
-        )
-
-    partial = with_cluster.map_batches(local_topk, batch_format="pyarrow")
-
-    def merge_query(g: pa.Table) -> pa.Table:
-        vids = g["vec_id"].to_numpy(zero_copy_only=False)
-        cos = g["cosine"].to_numpy(zero_copy_only=False)
-        top = np.lexsort((vids, -cos))[:k]
-        return pa.table(
-            {
-                "query_vec_id": g["query_vec_id"].take(pa.array(top)),
-                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-                "vec_id": pa.array(vids[top], type=pa.int64()),
-                "cosine": pa.array(cos[top], type=pa.float64()),
-            }
-        )
-
-    out = partial.groupby("query_vec_id").map_groups(
-        merge_query, batch_format="pyarrow"
-    )
-    return _collect(out).sort_by(
-        [("query_vec_id", "ascending"), ("rank", "ascending")]
-    )
+    return _bucketed_topk(with_cluster, "cluster", probe, q_ids, q_mat, k)
 
 
 @ray.remote
 def _normalized_matrix_task(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Assemble (sorted vec_ids, row-normalized matrix) inside a Ray task
-    — the driver only holds the object ref."""
+    — the driver only ever holds the object ref."""
     tbls = [t for t in tables if t.num_rows]
+    if not tbls:
+        return np.empty(0, dtype=np.int64), np.zeros((0, 0))
     full = pa.concat_tables(tbls).sort_by("vec_id")
     ids = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return ids, _normalize(_emb_matrix(full))
@@ -258,6 +330,15 @@ def cosine_near_dup_pairs(
 
     def local_pairs(batch: pa.Table) -> pa.Table:
         ids_all, m_all = ray.get(mat_ref)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or ids_all.size == 0:
+            return empty
         v = _normalize(_emb_matrix(batch))
         vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         cos = v @ m_all.T  # (batch, N)
@@ -283,107 +364,4 @@ def cosine_near_dup_pairs(
             "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
             "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
         }
-    )
-
-
-def lsh_bucketed_topk(
-    embeddings: ray.data.Dataset,
-    query_vec_ids: list[int],
-    k: int,
-    num_planes: int = 8,
-    seed: int = 42,
-) -> pa.Table:
-    """Approximate top-k: random-hyperplane signatures bucket vectors; each
-    query searches only its bucket plus hamming<=1 neighbor buckets. Same
-    output schema as brute_force_topk; recall measured in tests."""
-    rng = np.random.default_rng(seed)
-
-    # probe dim from one row
-    first = embeddings.take(1)[0]
-    dim = len(first["embedding"])
-    planes = rng.standard_normal((num_planes, dim))
-    planes_ref = ray.put(planes)
-
-    def sig_batch(t: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
-        m = _emb_matrix(t)
-        bits = (m @ pl.T) > 0
-        sig = np.zeros(len(m), dtype=np.int64)
-        for i in range(pl.shape[0]):
-            sig |= bits[:, i].astype(np.int64) << i
-        return t.append_column("bucket", pa.array(sig, type=pa.int64()))
-
-    with_sig = embeddings.map_batches(sig_batch, batch_format="pyarrow")
-    qtbl_refs = with_sig.map_batches(
-        lambda t: t.filter(
-            pa.compute.is_in(
-                t["vec_id"], value_set=pa.array(query_vec_ids, type=pa.int64())
-            )
-        ),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
-    qtbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in qtbl_refs) if t.num_rows]
-    ).sort_by("vec_id")
-    q_ids = qtbl["vec_id"].to_pylist()
-    q_mat = _normalize(_emb_matrix(qtbl))
-    q_sigs = qtbl["bucket"].to_pylist()
-    # probe set: own bucket + hamming-1 neighbors
-    probe: dict[int, list[int]] = {}
-    for qid, s in zip(q_ids, q_sigs):
-        buckets = {s} | {s ^ (1 << i) for i in range(num_planes)}
-        for b in buckets:
-            probe.setdefault(b, []).append(qid)
-    probe_ref = ray.put((probe, dict(zip(q_ids, range(len(q_ids)))), q_mat))
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        pr, qidx, qm = ray.get(probe_ref)
-        vecs = _normalize(_emb_matrix(batch))
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sigs = batch["bucket"].to_numpy(zero_copy_only=False)
-        out_q, out_v, out_c = [], [], []
-        for b in np.unique(sigs):
-            qids = pr.get(int(b))
-            if not qids:
-                continue
-            mask = sigs == b
-            sub = vecs[mask]
-            subids = vids[mask]
-            for qid in qids:
-                row = qm[qidx[qid]] @ sub.T
-                top = np.lexsort((subids, -round6(row)))[:k]
-                out_q.extend([qid] * len(top))
-                out_v.extend(subids[top].tolist())
-                out_c.extend(round6(row[top]).tolist())
-        return pa.table(
-            {
-                "query_vec_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cosine": pa.array(out_c, type=pa.float64()),
-            }
-        )
-
-    partial = with_sig.map_batches(local_topk, batch_format="pyarrow")
-
-    def merge_query(g: pa.Table) -> pa.Table:
-        # a vec may appear once per (bucket-probe); dedup by vec_id first
-        vids = g["vec_id"].to_numpy(zero_copy_only=False)
-        cos = g["cosine"].to_numpy(zero_copy_only=False)
-        _, first_idx = np.unique(vids, return_index=True)
-        vids, cos = vids[first_idx], cos[first_idx]
-        top = np.lexsort((vids, -cos))[:k]
-        return pa.table(
-            {
-                "query_vec_id": g["query_vec_id"].take(pa.array(first_idx[top])),
-                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-                "vec_id": pa.array(vids[top], type=pa.int64()),
-                "cosine": pa.array(cos[top], type=pa.float64()),
-            }
-        )
-
-    out = partial.groupby("query_vec_id").map_groups(
-        merge_query, batch_format="pyarrow"
-    )
-    return _collect(out).sort_by(
-        [("query_vec_id", "ascending"), ("rank", "ascending")]
     )

@@ -124,6 +124,21 @@ def read_stats(vdir: str) -> dict:
         return json.load(f)
 
 
+def write_partials_meta(vdir: str, meta: dict) -> None:
+    d = os.path.join(vdir, "partials")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "_META.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_partials_meta(vdir: str) -> dict | None:
+    p = os.path.join(vdir, "partials", "_META.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def partition_done(vdir: str, pid: int) -> bool:
     return os.path.exists(os.path.join(vdir, "partials", f"part_{pid:05d}", "_SUCCESS"))
 

@@ -185,6 +185,35 @@ def test_resumable_build_resumes_through_public_entry(
         assert list(fast[term][1]) == list(resumed[term][1]), term
 
 
+def test_resumable_rerun_rejects_mismatched_partition_config(
+    tmp_path, synth_corpus_table
+):
+    """Stale checkpoints from a DIFFERENT partitioning/salting layout must
+    NOT be reused — a rerun with changed num_partitions allocates a fresh
+    version instead of merging incompatible partials."""
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import (
+        _build_partials,
+        build_index,
+    )
+
+    root = str(tmp_path / "mismatch_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    corpus = ray.data.from_arrow(synth_corpus_table)
+
+    # crashed attempt with num_partitions=4 (no manifest)
+    vdir = os.path.join(root, "v1")
+    os.makedirs(vdir, exist_ok=True)
+    _build_partials("", vdir, cfg, corpus, 4)
+
+    # rerun with num_partitions=8: incompatible -> fresh version v2
+    manifest = build_index(
+        "", root, cfg, corpus=corpus, resumable=True, num_partitions=8
+    )
+    assert manifest["version"] == 2
+    assert mf.read_alias(root) == os.path.join(root, "v2")
+
+
 def test_term_shuffle_strategy_identical(tmp_path, synth_corpus_table, built_index):
     """The explicit groupby(term) shuffle path and the default segment
     path must produce identical posting lists."""
