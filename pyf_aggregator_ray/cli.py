@@ -62,6 +62,18 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index-root", required=True)
     g.add_argument("--keep", type=int, default=2)
 
+    ex = sub.add_parser("export", help="K5: doc table -> JSONL export")
+    ex.add_argument("--index-root", required=True)
+    ex.add_argument("--out-dir", required=True)
+
+    mg = sub.add_parser(
+        "migrate",
+        help="K5: copy the live index version into another root as its "
+        "next version + alias switch (reference typesense_util migrate)",
+    )
+    mg.add_argument("--from-root", required=True)
+    mg.add_argument("--to-root", required=True)
+
     pr = sub.add_parser("profiles", help="list/validate YAML profiles")
     pr.add_argument("--profiles-path")
     pr.add_argument("--profile", help="show one profile (validated)")
@@ -134,6 +146,17 @@ def main(argv: list[str] | None = None) -> int:
 
             manifest = incremental_update(args.index_root, read_corpus(args.sf_dir))
             print(json.dumps({"stats": manifest["stats"]}, default=str))
+        elif args.cmd == "export":
+            from .pipelines.maintenance import export_docs_jsonl
+
+            n = export_docs_jsonl(args.index_root, args.out_dir)
+            print(json.dumps({"exported_rows": n, "out_dir": args.out_dir}))
+        elif args.cmd == "migrate":
+            from .pipelines.maintenance import migrate_index
+
+            manifest = migrate_index(args.from_root, args.to_root)
+            print(json.dumps({"version": manifest["version"],
+                              "kind": manifest["kind"]}))
         elif args.cmd == "packages":
             from .pipelines.packagepipe import profile_package_run
 

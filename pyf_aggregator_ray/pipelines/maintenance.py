@@ -223,6 +223,38 @@ def import_docs_jsonl(jsonl_dir: str) -> ray.data.Dataset:
     return ray.data.read_json(jsonl_dir)
 
 
+def migrate_index(src_root: str, dst_root: str) -> dict:
+    """K5 migrate (reference ``typesense_util.py:106-138``: export one
+    collection, import into another, verify): copy the live version's
+    artifacts into ``dst_root`` as its next version, verify row counts,
+    then switch the destination alias — the source stays live and
+    untouched throughout (zero-downtime)."""
+    import shutil as _sh
+
+    live = mf.read_alias(src_root)
+    if not live:
+        raise RuntimeError(f"no live index under {src_root}")
+    version = mf.next_version(dst_root)
+    vdir = mf.version_dir(dst_root, version)
+    os.makedirs(os.path.dirname(vdir) or dst_root, exist_ok=True)
+    _sh.copytree(live, vdir)
+
+    src_stats = mf.read_stats(live)
+    got = ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id"]
+    ).count()
+    if got != src_stats["num_docs"]:
+        _sh.rmtree(vdir, ignore_errors=True)
+        raise RuntimeError(
+            f"migrate verification failed: {got} docs vs {src_stats['num_docs']}"
+        )
+    manifest = dict(mf.read_manifest(live) or {})
+    manifest.update({"version": version, "kind": "migrate", "migrated_from": live})
+    mf.write_manifest(vdir, manifest)
+    mf.switch_alias(dst_root, version)
+    return manifest
+
+
 # Enrichment-ONLY fields (the reference's GITHUB_FIELDS, main.py:17-25):
 # these are never recomputed by a refresh, so a falsy fresh value means
 # "missing" and coalescing from the old doc is correct. Fields the chain

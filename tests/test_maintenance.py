@@ -128,6 +128,26 @@ def test_reconcile_stale(small_index, synth_corpus_table):
     assert manifest["stats"]["num_docs"] == 250
 
 
+def test_migrate_index(small_index, tmp_path):
+    """K5 migrate: live version copied into another root as its next
+    version, counts verified, destination alias switched, source
+    untouched; queries answer identically from the migrated copy."""
+    root, cfg = small_index
+    dst = str(tmp_path / "migrated_root")
+    manifest = mx.migrate_index(root, dst)
+    assert manifest["kind"] == "migrate"
+    src_live = mf.read_alias(root)
+    dst_live = mf.read_alias(dst)
+    assert dst_live and dst_live != src_live
+    assert mf.read_stats(dst_live) == mf.read_stats(src_live)
+    src_post = load_postings(root)
+    dst_post = load_postings(dst)
+    assert set(src_post) == set(dst_post)
+    r1 = IndexReader(root).score("merge sort", 5)
+    r2 = IndexReader(dst).score("merge sort", 5)
+    assert r1 == r2
+
+
 def test_export_import_round_trip(small_index, tmp_path):
     root, _ = small_index
     out = str(tmp_path / "export")
