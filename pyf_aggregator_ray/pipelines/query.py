@@ -137,11 +137,13 @@ class IndexReader:
         max_id = max(int(p[0][-1]) for p in parts)  # posting lists are sorted
 
         if total_postings * 4 >= max_id:
-            # dense: one float per doc id; bincount per term, accumulated
-            # in sorted-term order (same per-doc addition order as sparse)
+            # dense: one float per doc id, accumulated in sorted-term
+            # order. Doc ids are UNIQUE within a posting list, so a
+            # direct indexed add is exact and avoids bincount's full-size
+            # temporary per term (same per-doc addition order as sparse).
             dense = np.zeros(max_id + 1, dtype=np.float64)
             for ids, contrib, _ in parts:
-                dense += np.bincount(ids, weights=contrib, minlength=max_id + 1)
+                dense[ids] += contrib
             uniq = np.flatnonzero(dense)
             scores = dense[uniq]
         else:
@@ -155,8 +157,10 @@ class IndexReader:
             scores *= w
         if k < len(uniq):
             # select everything >= the k-th score (ties included), then
-            # sort that small set with the doc_id tiebreak
-            kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+            # sort that small set with the doc_id tiebreak. Value
+            # partition (no index array, no negated copy) finds the k-th
+            # largest score.
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             cand = np.flatnonzero(scores >= kth)
             order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
         else:
@@ -197,30 +201,45 @@ class IndexReader:
         ubs = np.array(
             [float(c.max()) if len(c) else 0.0 for _, (_, c, _) in items]
         )
-        acc: dict[int, float] = {}
-        cand_ids: np.ndarray | None = None  # narrowed candidate set
+        # fully vectorized accumulation: acc_ids (sorted) aligned with
+        # acc_sc partial sums; narrowing swaps to candidate-aligned adds
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_sc = np.empty(0, dtype=np.float64)
+        narrowed = False
         for i, (_t, (ids, contrib, _df)) in enumerate(items):
-            if cand_ids is None:
-                for d, c in zip(ids.tolist(), contrib.tolist()):
-                    acc[d] = acc.get(d, 0.0) + c
+            if not narrowed:
+                if len(acc_ids) == 0:
+                    acc_ids = ids.astype(np.int64, copy=True)
+                    acc_sc = contrib.astype(np.float64, copy=True)
+                else:
+                    cat = np.concatenate([acc_ids, ids])
+                    sc = np.concatenate([acc_sc, contrib])
+                    acc_ids, inv = np.unique(cat, return_inverse=True)
+                    merged = np.zeros(len(acc_ids), dtype=np.float64)
+                    np.add.at(merged, inv, sc)
+                    acc_sc = merged
             else:
-                pos = np.searchsorted(ids, cand_ids)
-                valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand_ids)
-                for d, p in zip(cand_ids[valid].tolist(), pos[valid].tolist()):
-                    acc[d] += float(contrib[p])
+                pos = np.searchsorted(ids, acc_ids)
+                valid = (pos < len(ids)) & (
+                    ids[np.minimum(pos, len(ids) - 1)] == acc_ids
+                )
+                acc_sc[valid] += contrib[pos[valid]]
             remaining = float(ubs[i + 1 :].sum())
             if remaining == 0.0:
                 break
-            if len(acc) >= k:
-                theta = sorted(acc.values(), reverse=True)[k - 1]
+            if len(acc_ids) >= k:
+                theta = float(
+                    np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k]
+                )
                 if remaining < theta:
-                    keep = [d for d, s in acc.items() if s + remaining >= theta]
-                    cand_ids = np.array(sorted(keep), dtype=np.int64)
-                    acc = {d: acc[d] for d in keep}
+                    keep = acc_sc + remaining >= theta
+                    acc_ids = acc_ids[keep]  # stays sorted
+                    acc_sc = acc_sc[keep]
+                    narrowed = True
         # Re-accumulate survivors in sorted-term order so float summation
         # is bit-identical to the exhaustive scorer (ub-order accumulation
         # differs by ~1 ulp, enough to flip round6 boundaries).
-        cand = np.array(sorted(acc), dtype=np.int64)
+        cand = acc_ids
         exact = np.zeros(len(cand), dtype=np.float64)
         for t in sorted(found):
             ids, contrib, _ = found[t]
