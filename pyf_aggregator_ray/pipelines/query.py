@@ -136,7 +136,14 @@ class IndexReader:
         total_postings = sum(len(p[0]) for p in parts)
         max_id = max(int(p[0][-1]) for p in parts)  # posting lists are sorted
 
-        if total_postings * 4 >= max_id:
+        if len(parts) == 1:
+            # single-term fast path: the cached per-term contributions ARE
+            # the scores — no accumulation array at all. Copy only when a
+            # weight multiply would otherwise mutate the cache.
+            uniq, scores = parts[0][0], parts[0][1]
+            if doc_weights:
+                scores = scores.copy()
+        elif total_postings * 4 >= max_id:
             # dense: one float per doc id, accumulated in sorted-term
             # order. Doc ids are UNIQUE within a posting list, so a
             # direct indexed add is exact and avoids bincount's full-size
