@@ -62,6 +62,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index-root", required=True)
     g.add_argument("--keep", type=int, default=2)
 
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation: exact+near dedup, quality floor, "
+        "language filter -> curated parquet",
+    )
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out-dir", required=True)
+
     ex = sub.add_parser("export", help="K5: doc table -> JSONL export")
     ex.add_argument("--index-root", required=True)
     ex.add_argument("--out-dir", required=True)
@@ -146,6 +154,11 @@ def main(argv: list[str] | None = None) -> int:
 
             manifest = incremental_update(args.index_root, read_corpus(args.sf_dir))
             print(json.dumps({"stats": manifest["stats"]}, default=str))
+        elif args.cmd == "curate":
+            from .pipelines.curation import curate_and_write
+
+            counts = curate_and_write(args.sf_dir, args.out_dir)
+            print(json.dumps({"status_counts": counts, "out_dir": args.out_dir}))
         elif args.cmd == "export":
             from .pipelines.maintenance import export_docs_jsonl
 

@@ -409,3 +409,7 @@ _fieldsearch.register_all()
 from . import npmpipes as _npmpipes  # noqa: E402
 
 _npmpipes.register_all()
+
+from . import curation as _curation  # noqa: E402
+
+_curation.register_all()

@@ -215,7 +215,9 @@ NGRAM_JACCARD_SQL = SHINGLES_SQL + "," + _pair_jaccard_tail(DEFAULT.jaccard_thre
 
 _ROWS_PER_BAND = DEFAULT.minhash_num_perm // DEFAULT.minhash_bands
 
-MINHASH_LSH_SQL = (
+# every CTE of the MinHash-LSH pipeline through the verified-jaccard
+# relation `jac` — reused verbatim by the corpus-curation oracle
+MINHASH_CTES = (
     SHINGLES_SQL
     + f""",
 perms(p, a, b) AS (VALUES
@@ -257,7 +259,12 @@ jac AS (
   FROM inter i
   JOIN sizes za ON za.doc_id = i.doc_a
   JOIN sizes zb ON zb.doc_id = i.doc_b
+)"""
 )
+
+MINHASH_LSH_SQL = (
+    MINHASH_CTES
+    + f"""
 SELECT doc_a, doc_b, {sql_round6('j')} AS jaccard
 FROM jac WHERE j >= {DEFAULT.jaccard_threshold}
 ORDER BY doc_a, doc_b
