@@ -119,8 +119,17 @@ def run_bench() -> dict:
         for _, query, k in QUERY_SET:
             cold.score(query, k)
         cold_set_sec = time.perf_counter() - t
+        # the composed training-data cleaning pipeline (exact+near dedup,
+        # quality floor, language filter) over the same corpus
+        from pyf_aggregator_ray.pipelines.curation import curate_corpus
+
+        t = time.perf_counter()
+        curated_rows = curate_corpus(sf_dir).count()
+        curation_sec = time.perf_counter() - t
     else:
         cold_set_sec = -1.0
+        curation_sec = -1.0
+        curated_rows = -1
 
     stats = manifest["stats"]
     metrics = manifest["metrics"]
@@ -135,6 +144,7 @@ def run_bench() -> dict:
             "query_set_cold": round(cold_set_sec, 4),
             "query_p50": round(p50, 5),
             "query_p95": round(p95, 5),
+            "curation": round(curation_sec, 3),
         },
         "sf": sf_dir,
         "num_cpus": num_cpus,
