@@ -264,23 +264,52 @@ class MinHashStage:
         cfg = self.cfg
         toks = tokenize_column(batch["text"])
         ids = batch["doc_id"].to_pylist()
-        out_ids, out_band, out_sig = [], [], []
+        # gather every doc's distinct shingle hashes into ONE flat array
+        # with doc boundaries, then compute all signatures in a single
+        # (P x total_shingles) pass + segmented min (np.minimum.reduceat)
+        # — no per-doc numpy calls in the loop, just shingle collection
+        doc_ids: list[int] = []
+        offsets: list[int] = [0]
+        flat_hashes: list[np.ndarray] = []
+        total = 0
         for doc_id, tl in zip(ids, toks.to_pylist()):
             shs = set(shingles_of(tl, cfg.shingle_k))
             if not shs:
                 continue
             h = self._hash_shingles(shs)
-            m = (
-                (h[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE31
-            ).min(axis=1)
-            for band in range(cfg.minhash_bands):
-                vals = m[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                sig = hashlib.md5(
-                    "-".join(str(int(v)) for v in vals).encode()
-                ).hexdigest()
-                out_ids.append(doc_id)
-                out_band.append(band)
-                out_sig.append(sig)
+            doc_ids.append(doc_id)
+            flat_hashes.append(h)
+            total += len(h)
+            offsets.append(total)
+        if not doc_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.string()),
+                }
+            )
+        h_all = np.concatenate(flat_hashes)
+        # (P, total) permuted hashes -> per-doc minima at segment starts
+        permuted = (h_all[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE31
+        starts = np.array(offsets[:-1], dtype=np.int64)
+        minima = np.minimum.reduceat(permuted, starts, axis=1)  # (P, n_docs)
+
+        n_docs = len(doc_ids)
+        bands = cfg.minhash_bands
+        rpb = self.rows_per_band
+        out_ids = np.repeat(np.asarray(doc_ids, dtype=np.int64), bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int64), n_docs)
+        out_sig = []
+        for d in range(n_docs):
+            col = minima[:, d]
+            for band in range(bands):
+                vals = col[band * rpb : (band + 1) * rpb]
+                out_sig.append(
+                    hashlib.md5(
+                        "-".join(str(int(v)) for v in vals).encode()
+                    ).hexdigest()
+                )
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
