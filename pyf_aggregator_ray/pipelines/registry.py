@@ -168,6 +168,103 @@ FROM corpus
 """
 
 
+SNIPPET_QUERY_IDS = (0, 1, 8)
+SNIPPET_LEN = 40
+
+
+def bm25_snippets(sf_dir: str) -> pa.Table:
+    """Highlighting (reference: Typesense returns per-field highlights
+    with its hits): for a query subset's top-k, the 1-based position of
+    the first query-term occurrence in the document and a fixed-width
+    snippet from it.
+
+    The doc texts needed are ONLY the top-k hits': their ids broadcast to
+    a distributed filter over the documents table, the tiny survivor set
+    assembled in a Ray task — content never ships for non-hits."""
+    import numpy as np
+
+    from ..functions.tokenizer import tokenize_query
+
+    top = bm25_topk(sf_dir)
+    keep = pa.compute.is_in(
+        top["query_id"], value_set=pa.array(SNIPPET_QUERY_IDS, type=pa.int64())
+    )
+    top = top.filter(keep)
+    need_ids = np.unique(top["doc_id"].to_numpy(zero_copy_only=False))
+    ids_ref = ray.put(need_ids.astype(np.int64))
+
+    def keep_docs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.slice(0, 0)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, ray.get(ids_ref))))
+
+    from ..stages.dedup import _attr_map_task
+
+    texts_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(keep_docs, batch_format="pyarrow")
+    text_map = ray.get(_attr_map_task.remote(*texts_ds.to_arrow_refs()))
+
+    terms_of = {
+        qid: tokenize_query(query)
+        for qid, query, _k in q.QUERY_SET
+        if qid in SNIPPET_QUERY_IDS
+    }
+    out_q, out_r, out_d, out_p, out_s = [], [], [], [], []
+    for row in top.to_pylist():
+        text = text_map[row["doc_id"]]
+        low = text.lower()
+        positions = [low.find(t) + 1 for t in terms_of[row["query_id"]]]
+        first = min(p for p in positions if p > 0)
+        out_q.append(row["query_id"])
+        out_r.append(row["rank"])
+        out_d.append(row["doc_id"])
+        out_p.append(first)
+        out_s.append(text[first - 1 : first - 1 + SNIPPET_LEN])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "first_pos": pa.array(out_p, type=pa.int64()),
+            "snippet": pa.array(out_s, type=pa.string()),
+        }
+    )
+
+
+def bm25_snippets_sql() -> str:
+    from ..functions.tokenizer import tokenize_query
+
+    qterm_rows = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, query, _k in q.QUERY_SET
+        if qid in SNIPPET_QUERY_IDS
+        for t in tokenize_query(query)
+    )
+    ids = ", ".join(map(str, SNIPPET_QUERY_IDS))
+    return f"""
+WITH base AS ({q.bm25_oracle_sql()}),
+qterms(query_id, term) AS (VALUES
+    {qterm_rows}
+),
+pos AS (
+  SELECT b.query_id, b.rank, b.doc_id,
+         min(CASE WHEN strpos(lower(d.text), qt.term) > 0
+                  THEN strpos(lower(d.text), qt.term) END)::BIGINT AS first_pos
+  FROM base b
+  JOIN documents d ON d.doc_id = b.doc_id
+  JOIN qterms qt ON qt.query_id = b.query_id
+  WHERE b.query_id IN ({ids})
+  GROUP BY 1, 2, 3
+)
+SELECT p.query_id, p.rank, p.doc_id, p.first_pos,
+       substr(d.text, p.first_pos::INT, {SNIPPET_LEN}) AS snippet
+FROM pos p JOIN documents d ON d.doc_id = p.doc_id
+ORDER BY p.query_id, p.rank
+"""
+
+
 FACET_QUERY_IDS = (0, 1, 2, 5, 8)
 
 
@@ -369,6 +466,7 @@ ORDER BY rank
 _REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "bm25_topk": (bm25_topk, q.bm25_oracle_sql()),
     "bm25_facets": (bm25_facets, bm25_facets_sql()),
+    "bm25_snippets": (bm25_snippets, bm25_snippets_sql()),
     "search_sorted_by_field": (search_sorted_by_field, SORTED_RETRIEVAL_SQL),
     "index_term_stats": (index_term_stats, TERM_STATS_SQL),
     "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
