@@ -380,6 +380,76 @@ ORDER BY 1, 2
 """
 
 
+PREFIXES = ("s", "va", "me")
+
+
+def prefix_search(sf_dir: str) -> pa.Table:
+    """Prefix queries over the term dictionary (the reference's search
+    engine matches prefixes during typing): for each prefix, every
+    matching term with its df/cf — a predicate-pushdown RANGE scan of the
+    postings dictionary (term >= p AND term < p+1), never a full scan."""
+    import pyarrow.compute as pc
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+
+    out = []
+    for p in PREFIXES:
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        ds = ray.data.read_parquet(
+            os.path.join(vdir, "postings"),
+            columns=["term", "df", "cf"],
+            filter=(pc.field("term") >= p) & (pc.field("term") < hi),
+        )
+
+        def tag(t: pa.Table, p=p) -> pa.Table:
+            if t.num_rows == 0 or "term" not in t.column_names:
+                return pa.schema(
+                    [("prefix", pa.string()), ("term", pa.string()),
+                     ("df", pa.int64()), ("cf", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "prefix": pa.array([p] * t.num_rows, type=pa.string()),
+                    "term": t["term"],
+                    "df": t["df"],
+                    "cf": t["cf"],
+                }
+            )
+
+        out.extend(ds.map_batches(tag, batch_format="pyarrow").take_all())
+    rows = sorted((r["prefix"], r["term"], r["df"], r["cf"]) for r in out)
+    return pa.table(
+        {
+            "prefix": pa.array([r[0] for r in rows], type=pa.string()),
+            "term": pa.array([r[1] for r in rows], type=pa.string()),
+            "df": pa.array([r[2] for r in rows], type=pa.int64()),
+            "cf": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def prefix_search_sql() -> str:
+    prefix_rows = ",\n    ".join(f"('{p}')" for p in PREFIXES)
+    return f"""
+WITH corpus AS ({q.CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM toks GROUP BY term
+),
+prefixes(p) AS (VALUES
+    {prefix_rows}
+)
+SELECT pr.p AS prefix, s.term, s.df, s.cf
+FROM prefixes pr JOIN stats s ON s.term LIKE pr.p || '%'
+ORDER BY prefix, term
+"""
+
+
 SORTED_RETRIEVAL_TERM = "spark"
 SORTED_RETRIEVAL_K = 20
 
@@ -468,6 +538,7 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "bm25_facets": (bm25_facets, bm25_facets_sql()),
     "bm25_snippets": (bm25_snippets, bm25_snippets_sql()),
     "search_sorted_by_field": (search_sorted_by_field, SORTED_RETRIEVAL_SQL),
+    "prefix_search": (prefix_search, prefix_search_sql()),
     "index_term_stats": (index_term_stats, TERM_STATS_SQL),
     "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
     "doc_sha256": (doc_sha256, DOC_SHA256_SQL),
