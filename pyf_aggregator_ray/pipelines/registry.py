@@ -24,6 +24,7 @@ import ray
 import ray.data
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.rounding import sql_round6
 from ..state import manifest as mf
 from . import query as q
 
@@ -380,6 +381,147 @@ ORDER BY 1, 2
 """
 
 
+TYPO_QUERIES: list[tuple[int, str, int]] = [
+    (0, "mergw sort", 10),   # mergw -> merge
+    (1, "sparc", 10),        # sparc -> spark (and any other lev-1 hits)
+    (2, "windoww tble", 10), # windoww -> window, tble -> table
+    (3, "qqqqqq", 10),       # nothing within distance 1 -> empty
+]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Textbook DP edit distance — semantics identical to DuckDB's
+    levenshtein() (verified in tests on the shared vocabulary)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def typo_search(sf_dir: str) -> pa.Table:
+    """Typo-tolerant search (the reference engine's flagship typing
+    surface: Typesense matches terms within an edit distance): each query
+    token expands to every dictionary term within Levenshtein distance 1,
+    and the expanded distinct term set scores through the normal BM25
+    scorer actors.
+
+    The expansion is a DISTRIBUTED dictionary scan: a vectorized length
+    prune (|len(term) - len(token)| <= 1) inside map_batches, exact edit
+    distance only on the survivors, and only the (query_id, term) matches
+    — bounded by the expansion size — reach the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.tokenizer import tokenize_query
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    qtokens = {qid: tokenize_query(query) for qid, query, _k in TYPO_QUERIES}
+    tokens_ref = ray.put(qtokens)
+
+    def match_terms(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("query_id", pa.int64()), ("term", pa.string())])
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return out_schema.empty_table()
+        qt = ray.get(tokens_ref)
+        terms = t["term"].to_pylist()
+        lens = np.array([len(x) for x in terms])
+        out_q, out_t = [], []
+        for qid, toks in qt.items():
+            for tok in toks:
+                cand = np.flatnonzero(np.abs(lens - len(tok)) <= 1)
+                for i in cand:
+                    if _levenshtein(tok, terms[i]) <= 1:
+                        out_q.append(qid)
+                        out_t.append(terms[i])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+            }
+        )
+
+    dictionary = ray.data.read_parquet(
+        os.path.join(vdir, "postings"), columns=["term"]
+    )
+    matches: dict[int, set[str]] = {qid: set() for qid in qtokens}
+    for r in dictionary.map_batches(match_terms, batch_format="pyarrow").take_all():
+        matches[r["query_id"]].add(r["term"])
+
+    expanded = [
+        (qid, " ".join(sorted(matches[qid])), k)
+        for qid, _query, k in TYPO_QUERIES
+        if matches[qid]
+    ]
+    if not expanded:
+        return pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
+    ds = q.run_query_set(root, queries=expanded)
+    out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def typo_search_sql() -> str:
+    cfg = DEFAULT
+    values = ",\n    ".join(
+        f"({qid}, '{query}', {k})" for qid, query, k in TYPO_QUERIES
+    )
+    return f"""
+WITH corpus AS ({q.CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k) AS (VALUES
+    {values}
+),
+qtoks AS (
+  SELECT DISTINCT query_id, k,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS qt
+  FROM queries
+),
+qterms AS (
+  SELECT DISTINCT q.query_id, q.k, d.term
+  FROM qtoks q JOIN df d ON levenshtein(q.qt, d.term) <= 1
+),
+scored AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, {sql_round6('score')} AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
 PREFIXES = ("s", "va", "me")
 
 
@@ -539,6 +681,7 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "bm25_snippets": (bm25_snippets, bm25_snippets_sql()),
     "search_sorted_by_field": (search_sorted_by_field, SORTED_RETRIEVAL_SQL),
     "prefix_search": (prefix_search, prefix_search_sql()),
+    "typo_search": (typo_search, typo_search_sql()),
     "index_term_stats": (index_term_stats, TERM_STATS_SQL),
     "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
     "doc_sha256": (doc_sha256, DOC_SHA256_SQL),

@@ -95,3 +95,22 @@ def test_weighted_scoring(built_index, synth_corpus_table):
     got = reader.score("import ident1", 50, doc_weights=weights)
     exp = naive_bm25(synth_corpus_table, "import ident1", 50, cfg, doc_weights=weights)
     assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+
+
+def test_levenshtein_matches_duckdb():
+    """The engine-side edit distance must agree with DuckDB's
+    levenshtein() (the oracle's expansion predicate) on realistic pairs."""
+    import duckdb
+
+    from pyf_aggregator_ray.pipelines.registry import _levenshtein
+
+    con = duckdb.connect()
+    vocab = ["merge", "sort", "spark", "scan", "window", "table", "the",
+             "a", "value", "stream", "batch", ""]
+    probes = ["mergw", "sparc", "windoww", "tble", "qqqqqq", "a", "", "me"]
+    for p in probes:
+        for v in vocab:
+            sql = con.execute(
+                "SELECT levenshtein(?, ?)", [p, v]
+            ).fetchone()[0]
+            assert _levenshtein(p, v) == sql, (p, v)
