@@ -124,12 +124,11 @@ def run_bench() -> dict:
         from pyf_aggregator_ray.pipelines.curation import curate_corpus
 
         t = time.perf_counter()
-        curated_rows = curate_corpus(sf_dir).count()
+        curate_corpus(sf_dir).count()  # one status row per input doc
         curation_sec = time.perf_counter() - t
     else:
         cold_set_sec = -1.0
         curation_sec = -1.0
-        curated_rows = -1
 
     stats = manifest["stats"]
     metrics = manifest["metrics"]

@@ -9,10 +9,13 @@ stages with one deterministic precedence:
 
 Distributed shape: MinHash-LSH produces the (small) verified near-dup
 pair table whose higher doc ids become a broadcast drop-set; one
-``map_batches`` pass computes every per-doc signal locally (content
-digest, quality score, language id, near-dup flag); a single
-groupby(digest) assigns exact-dup keepers (min doc id per identical
-text) and folds the precedence — no O(N) driver structure anywhere.
+``map_batches`` pass computes every per-doc signal locally in a SINGLE
+tokenization (content digest, quality score, language id, near-dup
+flag); exact-dup groups come from a vectorized groupby(digest) Min/Count
+aggregate whose count>1 survivors — the duplicate groups, the small side
+by construction — broadcast as a {digest: keeper} map; a final
+vectorized ``map_batches`` folds the precedence. No per-group Python
+UDFs and no O(N) driver or broadcast structure anywhere.
 
 The oracle recomputes the whole composition in SQL from the documents
 table, reusing the SAME MinHash CTEs, stopword tables, and quality
@@ -47,10 +50,26 @@ def _drop_set_task(pairs: pa.Table) -> np.ndarray:
     )
 
 
+@ray.remote
+def _dup_group_map_task(*tables: pa.Table) -> dict:
+    """{digest: keeper doc_id} for digests with >1 occurrence — the
+    duplicate groups only, assembled inside a Ray task."""
+    out: dict[str, int] = {}
+    for t in tables:
+        if t.num_rows and "digest" in t.column_names:
+            out.update(
+                zip(t["digest"].to_pylist(), t["keeper"].to_pylist())
+            )
+    return out
+
+
 def curate_corpus(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, status) for every document, statuses per the precedence
     above; 'kept' rows form the curated corpus."""
+    from ray.data.aggregate import Count, Min
+
     from ..functions.hashing import sha256_column
+    from ..functions.rounding import round6
     from ..stages import dedup as dedup_stage
     from ..stages import textstats as ts
 
@@ -69,36 +88,58 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
             ).empty_table()
         near = ray.get(near_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        quality = ts.quality_batch(t)["quality"]
-        lang = ts.langid_batch(t)["lang_pred"]
+        # ONE tokenization pass feeds both quality and language-ID
+        exploded, ids_arr, toks = ts._exploded_tokens(t)
+        texts = t["text"].to_pylist()
+        _, _, _, score = ts.quality_features(exploded, ids_arr, toks, texts)
+        lang = ts.langid_pred(exploded, ids_arr)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "digest": sha256_column(t["text"]),
-                "quality": quality,
-                "lang_pred": lang,
+                "quality": pa.array(round6(score), type=pa.float64()),
+                "lang_pred": pa.array(lang, type=pa.string()),
                 "is_near": pa.array(np.isin(ids, near)),
             }
         )
 
-    def assign(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keeper = int(ids.min())
-        quality = g["quality"].to_numpy(zero_copy_only=False)
-        lang = g["lang_pred"].to_pylist()
-        near = g["is_near"].to_numpy(zero_copy_only=False)
-        status = []
-        for i, d in enumerate(ids):
-            if int(d) != keeper:
-                status.append("exact_dup")
-            elif near[i]:
-                status.append("near_dup")
-            elif quality[i] < CURATION_QUALITY_THRESHOLD:
-                status.append("low_quality")
-            elif lang[i] != CURATION_LANG:
-                status.append("non_english")
-            else:
-                status.append("kept")
+    sig = docs.map_batches(signals, batch_format="pyarrow").materialize()
+
+    # exact-dup groups: vectorized hash aggregate; only digests with >1
+    # occurrence (the duplicate groups — small by construction) broadcast
+    agg = sig.groupby("digest").aggregate(
+        Min("doc_id", alias_name="keeper"), Count(alias_name="n")
+    )
+
+    def dup_groups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return t.slice(0, 0)
+        return t.filter(pc.greater(t["n"], 1)).select(["digest", "keeper"])
+
+    dup_ref = _dup_group_map_task.remote(
+        *agg.map_batches(dup_groups, batch_format="pyarrow").to_arrow_refs()
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        dup = ray.get(dup_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        digests = t["digest"].to_pylist()
+        keepers = np.array(
+            [dup.get(dg, -1) for dg in digests], dtype=np.int64
+        )
+        quality = t["quality"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang_pred"].to_pylist(), dtype=object)
+        near = t["is_near"].to_numpy(zero_copy_only=False)
+        # vectorized precedence fold (first matching rule wins)
+        status = np.full(len(ids), "kept", dtype=object)
+        status[lang != CURATION_LANG] = "non_english"
+        status[quality < CURATION_QUALITY_THRESHOLD] = "low_quality"
+        status[near] = "near_dup"
+        status[(keepers >= 0) & (ids != keepers)] = "exact_dup"
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -106,12 +147,7 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        docs.map_batches(signals, batch_format="pyarrow")
-        .groupby("digest")
-        .map_groups(assign, batch_format="pyarrow")
-        .sort("doc_id")
-    )
+    return sig.map_batches(assign, batch_format="pyarrow").sort("doc_id")
 
 
 def curate_and_write(sf_dir: str, out_dir: str) -> dict:
@@ -128,16 +164,20 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict:
     }
     from ..stages.idsets import id_array_ref
 
-    kept_ids = statuses.map_batches(
-        lambda t: t.filter(pc.equal(t["status"], "kept")).select(["doc_id"]),
+    # broadcast the DROPPED ids (bounded by dup/junk counts — the small
+    # side of a mostly-kept corpus), never the O(N) kept set
+    dropped_ids = statuses.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.equal(t["status"], "kept"))
+        ).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    kept_ref = id_array_ref(kept_ids)
+    dropped_ref = id_array_ref(dropped_ids)
 
     def keep_rows(t: pa.Table) -> pa.Table:
-        keep = ray.get(kept_ref)
+        dropped = ray.get(dropped_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(np.isin(ids, keep)))
+        return t.filter(pa.array(~np.isin(ids, dropped)))
 
     ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
         keep_rows, batch_format="pyarrow"

@@ -290,10 +290,32 @@ class MinHashStage:
                 }
             )
         h_all = np.concatenate(flat_hashes)
-        # (P, total) permuted hashes -> per-doc minima at segment starts
-        permuted = (h_all[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE31
         starts = np.array(offsets[:-1], dtype=np.int64)
-        minima = np.minimum.reduceat(permuted, starts, axis=1)  # (P, n_docs)
+        # (P, chunk) permuted hashes -> per-doc minima at segment starts.
+        # Chunked along DOC boundaries so peak memory stays ~P x CHUNK
+        # regardless of batch size or per-doc shingle counts.
+        CHUNK = 131_072
+        minima_parts = []
+        d0 = 0
+        n_doc_segs = len(starts)
+        while d0 < n_doc_segs:
+            d1 = d0 + 1
+            seg_start = starts[d0]
+            while (
+                d1 < n_doc_segs and starts[d1] - seg_start < CHUNK
+            ):
+                d1 += 1
+            seg_end = offsets[d1]
+            sub = h_all[seg_start:seg_end]
+            permuted = (
+                sub[None, :] * self.a[:, None] + self.b[:, None]
+            ) % MERSENNE31
+            local_starts = starts[d0:d1] - seg_start
+            minima_parts.append(
+                np.minimum.reduceat(permuted, local_starts, axis=1)
+            )
+            d0 = d1
+        minima = np.concatenate(minima_parts, axis=1)  # (P, n_docs)
 
         n_docs = len(doc_ids)
         bands = cfg.minhash_bands
@@ -439,11 +461,11 @@ def pair_jaccard(
             }
         )
 
-    joined = pair_counts
-
     rows = sorted(
         (int(r["doc_a"]), int(r["doc_b"]), float(r["jaccard"]))
-        for r in joined.map_batches(jaccard_batch, batch_format="pyarrow").take_all()
+        for r in pair_counts.map_batches(
+            jaccard_batch, batch_format="pyarrow"
+        ).take_all()
     )
     return pa.table(
         {
@@ -637,11 +659,11 @@ def simhash_near_dup_pairs(
             }
         )
 
-    joined = cand
-
     rows = sorted(
         (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
-        for r in joined.map_batches(hamming_batch, batch_format="pyarrow").take_all()
+        for r in cand.map_batches(
+            hamming_batch, batch_format="pyarrow"
+        ).take_all()
     )
     return pa.table(
         {

@@ -43,12 +43,10 @@ def _exploded_tokens(batch: pa.Table) -> tuple[pd.DataFrame, np.ndarray, pa.List
     return df, ids, toks
 
 
-def langid_batch(batch: pa.Table) -> pa.Table:
-    """Predict language by stopword hits: for each doc count tokens in
-    each language's stopword list; predict the language with the highest
-    count (ties -> lexicographically smallest language); no hits ->
-    'unknown'."""
-    exploded, ids, _ = _exploded_tokens(batch)
+def langid_pred(exploded: pd.DataFrame, ids: np.ndarray) -> list[str]:
+    """Language prediction from an exploded (doc_id, term) frame — shared
+    by langid_batch and the composed curation pipeline so the rule can't
+    drift between them."""
     sw = pd.DataFrame(
         [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
         columns=["cand", "term"],
@@ -65,7 +63,16 @@ def langid_batch(batch: pa.Table) -> pa.Table:
         pred = dict(zip(best["doc_id"], best["cand"]))
     else:
         pred = {}
-    out = [pred.get(i, "unknown") for i in ids]
+    return [pred.get(i, "unknown") for i in ids]
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Predict language by stopword hits: for each doc count tokens in
+    each language's stopword list; predict the language with the highest
+    count (ties -> lexicographically smallest language); no hits ->
+    'unknown'."""
+    exploded, ids, _ = _exploded_tokens(batch)
+    out = langid_pred(exploded, ids)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
@@ -88,18 +95,12 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def quality_batch(batch: pa.Table) -> pa.Table:
-    """Quality features + a composite score in [0, 1]:
-
-        quality = least(1, n_tokens/200)*0.4 + least(1, n_chars/500)*0.3
-                  + stopword_ratio*0.3          (round6)
-
-    stopword_ratio = tokens in ANY language's stopword list / n_tokens
-    (0 for empty docs). Mirrored in SQL by QUALITY_SQL.
-    """
-    exploded, ids, toks = _exploded_tokens(batch)
+def quality_features(
+    exploded: pd.DataFrame, ids: np.ndarray, toks, texts: list
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n_chars, n_tokens, ratio, score) — shared by quality_batch and
+    the composed curation pipeline so the formula can't drift."""
     n_tokens = doc_lengths(toks).to_numpy(zero_copy_only=False).astype(np.float64)
-    texts = batch["text"].to_pylist()
     n_chars = np.array([len(t or "") for t in texts], dtype=np.float64)
     if len(exploded):
         sw_hits = (
@@ -116,6 +117,21 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         + np.minimum(1.0, n_chars / 500.0) * 0.3
         + ratio * 0.3
     )
+    return n_chars, n_tokens, ratio, score
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality features + a composite score in [0, 1]:
+
+        quality = least(1, n_tokens/200)*0.4 + least(1, n_chars/500)*0.3
+                  + stopword_ratio*0.3          (round6)
+
+    stopword_ratio = tokens in ANY language's stopword list / n_tokens
+    (0 for empty docs). Mirrored in SQL by QUALITY_SQL.
+    """
+    exploded, ids, toks = _exploded_tokens(batch)
+    texts = batch["text"].to_pylist()
+    n_chars, n_tokens, ratio, score = quality_features(exploded, ids, toks, texts)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
