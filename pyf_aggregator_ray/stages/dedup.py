@@ -342,9 +342,15 @@ class MinHashStage:
 
 
 def candidate_pairs(
-    band_rows: ray.data.Dataset, max_bucket_size: int = 1000
+    band_rows: ray.data.Dataset,
+    max_bucket_size: int = 1000,
+    distinct: bool = True,
 ) -> ray.data.Dataset:
-    """LSH buckets -> distinct candidate (doc_a, doc_b) pairs."""
+    """LSH buckets -> candidate (doc_a, doc_b) pairs.
+
+    ``distinct=False`` skips the pair-dedup shuffle (a pair colliding in
+    several bands appears once per collision) — correct whenever the
+    consumer dedups anyway, e.g. a set-building task."""
 
     def key_batch(t: pa.Table) -> pa.Table:
         key = [
@@ -368,13 +374,17 @@ def candidate_pairs(
 
     from ray.data.aggregate import Count
 
-    # distinct pairs (a pair may collide in several bands): grouped count
-    # on the pair key, count dropped — stays a Dataset end to end
-    return (
+    pairs = (
         band_rows.map_batches(key_batch, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
+    )
+    if not distinct:
+        return pairs
+    # distinct pairs (a pair may collide in several bands): grouped count
+    # on the pair key, count dropped — stays a Dataset end to end
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="nbands"))
         .drop_columns(["nbands"])
     )
@@ -488,7 +498,8 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    cand_ds = candidate_pairs(band_rows).materialize()
+    # distinct=False: the pair set dedups implicitly, saving a shuffle
+    cand_ds = candidate_pairs(band_rows, distinct=False).materialize()
     if cand_ds.count() == 0:
         return _empty_pairs("jaccard", pa.float64())
     shingle_ds = docs.map_batches(
