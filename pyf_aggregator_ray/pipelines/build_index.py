@@ -194,10 +194,32 @@ def build_index(
     def corpus_ds() -> ray.data.Dataset:
         return corpus if corpus is not None else read_corpus(sf_dir)
 
+    def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
+        """write_parquet of a zero-row Dataset writes no files; give the
+        artifact dir an explicit empty file so reads stay well-formed
+        (an empty corpus builds an empty-but-valid index)."""
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            import pyarrow.parquet as pq
+
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(
+                schema.empty_table(), os.path.join(path, "part-empty.parquet")
+            )
+
     # ---- pass 1: doc metadata (incl. per-row sha256 invariant) ----
     t = time.perf_counter()
     docs_pipeline = corpus_ds().map_batches(doc_meta_batch, batch_format="pyarrow")
     docs_pipeline.write_parquet(os.path.join(vdir, "docs"))
+    _ensure_parquet_dir(
+        os.path.join(vdir, "docs"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("repo", pa.string()), ("path", pa.string()),
+             ("commit", pa.string()), ("lang", pa.string()), ("dl", pa.int64()),
+             ("sha256", pa.string())]
+        ),
+    )
     metrics["docs_pass_sec"] = time.perf_counter() - t
     metrics["docs_pass_stats"] = _stats_excerpt(docs_pipeline)
 
@@ -271,6 +293,9 @@ def build_index(
             os.path.join(vdir, "postings"),
             num_rows_per_file=cfg.postings_rows_per_file,
         )
+    from ..stages.postings import merged_schema
+
+    _ensure_parquet_dir(os.path.join(vdir, "postings"), merged_schema())
     metrics["index_pass_sec"] = time.perf_counter() - t
     metrics["index_pass_stats"] = _stats_excerpt(final)
 

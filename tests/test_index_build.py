@@ -308,3 +308,31 @@ def test_manifest_lineage(built_index):
     assert "docs_per_sec" in on_disk["metrics"]
     assert "postings_per_sec" in on_disk["metrics"]
     assert on_disk["config"]["k1"] == 1.2
+
+
+def test_empty_corpus_builds_valid_empty_index(tmp_path, ray_session):
+    """An empty corpus must build an empty-but-valid versioned index
+    (readable artifacts, zero stats, queryable with no results)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "repo": pa.array([], type=pa.string()),
+         "path": pa.array([], type=pa.string()),
+         "commit": pa.array([], type=pa.string()),
+         "lang": pa.array([], type=pa.string()),
+         "content": pa.array([], type=pa.string())}
+    )
+    root = str(tmp_path / "empty_root")
+    manifest = build_index(
+        "", root, EngineConfig(), corpus=ray.data.from_arrow(empty), num_parts=2
+    )
+    assert manifest["stats"]["num_docs"] == 0
+    assert manifest["stats"]["vocab_size"] == 0
+    reader = IndexReader(root)
+    assert reader.score("anything at all", 10) == []

@@ -120,3 +120,69 @@ def test_split_description_fields_partition_markdown(rows):
     for lvl, txt in rows:
         if lvl % 7 != 0 and txt.strip() and "[" not in txt and "!" not in txt:
             assert txt.strip() in joined or txt in joined
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e1", "hot"]),
+                 min_size=0, max_size=20),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_encode_merge_round_trip_matches_naive(token_lists, salt_range):
+    """Postings encode + shard merge (pure functions, no Ray) reproduce a
+    naive inverted index for arbitrary corpora and salting widths."""
+    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+
+    from pyf_aggregator_ray.stages.postings import (
+        decode_posting_row,
+        encode_partition,
+        merge_partition,
+    )
+
+    # token rows (term, doc_id, tf, dl) with doc-range salts
+    rows = {"term": [], "doc_id": [], "tf": [], "dl": [], "salt": []}
+    naive = defaultdict(list)
+    for doc_id, toks in enumerate(token_lists):
+        dl = len(toks)
+        for term, tf in sorted(Counter(toks).items()):
+            rows["term"].append(term)
+            rows["doc_id"].append(doc_id)
+            rows["tf"].append(tf)
+            rows["dl"].append(dl)
+            rows["salt"].append(doc_id // salt_range)
+            naive[term].append((doc_id, tf, dl))
+    if not rows["term"]:
+        return
+    tbl = pa.table(
+        {
+            "term": pa.array(rows["term"], type=pa.string()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "tf": pa.array(rows["tf"], type=pa.int64()),
+            "dl": pa.array(rows["dl"], type=pa.int64()),
+            "salt": pa.array(rows["salt"], type=pa.int64()),
+        }
+    )
+    # split the corpus into two arbitrary encode blocks, then merge all
+    # shard rows — the full build's partial+final shape in miniature
+    half = tbl.num_rows // 2
+    shards = pa.concat_tables(
+        [encode_partition(tbl.slice(0, half)), encode_partition(tbl.slice(half))]
+    )
+    merged = merge_partition(shards)
+    got = {}
+    for i in range(merged.num_rows):
+        row = {c: merged[c][i].as_py() for c in merged.column_names}
+        ids, tfs, dls = decode_posting_row(row)
+        got[row["term"]] = (list(ids), list(tfs), list(dls), row["df"], row["cf"])
+    assert set(got) == set(naive)
+    for term, postings in naive.items():
+        ids, tfs, dls, df, cf = got[term]
+        assert ids == [p[0] for p in postings], term
+        assert tfs == [p[1] for p in postings], term
+        assert dls == [p[2] for p in postings], term
+        assert df == len(postings) and cf == sum(p[1] for p in postings)
