@@ -114,3 +114,10 @@ def test_levenshtein_matches_duckdb():
                 "SELECT levenshtein(?, ?)", [p, v]
             ).fetchone()[0]
             assert _levenshtein(p, v) == sql, (p, v)
+
+
+def test_index_reader_missing_root_raises(tmp_path):
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+
+    with pytest.raises((RuntimeError, FileNotFoundError, TypeError)):
+        IndexReader(str(tmp_path / "no_such_index"))
