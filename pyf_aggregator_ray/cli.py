@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index-root", required=True)
     g.add_argument("--keep", type=int, default=2)
 
+    sh = sub.add_parser(
+        "show", help="live index info: version, stats, manifest lineage"
+    )
+    sh.add_argument("--index-root", required=True)
+
     cu = sub.add_parser(
         "curate",
         help="training-data curation: exact+near dedup, quality floor, "
@@ -117,6 +122,23 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = mf.gc_old_versions(args.index_root, keep=args.keep)
         print(json.dumps({"removed_versions": removed}))
+        return 0
+
+    if args.cmd == "show":  # no Ray needed
+        from .state import manifest as mf
+
+        live = mf.read_alias(args.index_root)
+        if not live:
+            print(json.dumps({"live": None, "versions": mf.list_versions(args.index_root)}))
+            return 0
+        manifest = mf.read_manifest(live) or {}
+        print(json.dumps({
+            "live": live,
+            "versions": mf.list_versions(args.index_root),
+            "stats": mf.read_stats(live),
+            "kind": manifest.get("kind", "full"),
+            "config": manifest.get("config"),
+        }, default=str))
         return 0
 
     _ensure_ray()
