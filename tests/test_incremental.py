@@ -27,6 +27,10 @@ def test_incremental_equals_full_build(tmp_path, synth_corpus_table, built_index
 
     manifest = incremental_update(root, ray.data.from_arrow(second), cfg)
     assert manifest["kind"] == "incremental"
+    # disjoint delta dropped nothing against the watermark -> the
+    # reference's window-overflow warning fires (fetcher.py:425-471)
+    assert manifest["metrics"]["overlap_docs"] == 0
+    assert manifest["window_overflow_warning"] is True
     v2 = mf.read_alias(root)
     assert v2 != v1
     assert mf.read_stats(v2)["num_docs"] == synth_corpus_table.num_rows
@@ -54,6 +58,9 @@ def test_incremental_equals_full_build(tmp_path, synth_corpus_table, built_index
     m2 = incremental_update(root, ray.data.from_arrow(second), cfg)
     v3 = mf.read_alias(root)
     assert m2["stats"]["num_docs"] == synth_corpus_table.num_rows
+    # full overlap on the rerun -> no overflow warning
+    assert m2["metrics"]["overlap_docs"] == second.num_rows
+    assert m2["window_overflow_warning"] is False
     assert m2["stats"]["total_postings"] == manifest["stats"]["total_postings"]
     assert mf.read_stats(v3)["vocab_size"] == mf.read_stats(v2)["vocab_size"]
 
