@@ -403,12 +403,15 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
 
     def prep(t: pa.Table) -> pa.Table:
         epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), US)
+        # late/parse-failed data: null timestamps are INCLUDED (reference
+        # fetcher.py:444-447) and routed to the -1 catch-all window
+        window = pc.fill_null(
+            pc.multiply(pc.divide(epoch_s, WINDOW_S), WINDOW_S), -1
+        )
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "window_start": pc.multiply(
-                    pc.divide(epoch_s, WINDOW_S), WINDOW_S
-                ),
+                "window_start": window,
                 "value_c": _cents(t["value"]),
             }
         )

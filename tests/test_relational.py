@@ -63,3 +63,36 @@ def test_sessionize_gap_semantics():
     # session ids are dense per user starting at 1
     for _, g in df.groupby("user_id"):
         assert sorted(g["session_id"]) == list(range(1, len(g) + 1))
+
+
+def test_tumbling_window_routes_null_ts_to_catch_all(tmp_path, ray_session):
+    """Late-data rule (reference fetcher.py:444-447): events with null
+    timestamps are INCLUDED, routed to the -1 catch-all window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyf_aggregator_ray.pipelines.relational import tumbling_window
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["click", "click", "view", "click"]),
+            "ts": pa.array(
+                [1_700_000_000_000_000, None, 1_700_000_100_000_000, None],
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    sf = str(tmp_path / "late_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+    out = tumbling_window(sf)
+    catch_all = out[out["window_start"] == -1]
+    assert len(catch_all) == 1
+    assert catch_all.iloc[0]["event_type"] == "click"
+    assert catch_all.iloc[0]["n"] == 2
+    assert catch_all.iloc[0]["sum_value"] == 6.0
+    # the dated rows still aggregate normally
+    assert (out["n"].sum()) == 4
