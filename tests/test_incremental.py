@@ -78,3 +78,35 @@ def test_incremental_requires_base(tmp_path, synth_corpus_table):
             str(tmp_path / "empty_root"),
             ray.data.from_arrow(synth_corpus_table),
         )
+
+
+def test_incremental_with_interleaved_doc_ids(tmp_path, synth_corpus_table):
+    """Delta doc ids INTERLEAVED with indexed ones (even/odd split): shard
+    intervals overlap, so the merge must take the decode-merge-reencode
+    slow path — and still equal a from-scratch build over the union."""
+    import pyarrow.compute as pc
+
+    from test_index_build import naive_inverted_index
+
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    root = str(tmp_path / "interleave_root")
+    even_mask = pc.equal(
+        pc.bit_wise_and(synth_corpus_table["doc_id"], 1), 0
+    )
+    evens = synth_corpus_table.filter(even_mask)
+    odds = synth_corpus_table.filter(pc.invert(even_mask))
+
+    build_index("", root, cfg, corpus=ray.data.from_arrow(evens), num_parts=4)
+    manifest = incremental_update(root, ray.data.from_arrow(odds), cfg)
+    assert manifest["stats"]["num_docs"] == synth_corpus_table.num_rows
+
+    from test_index_build import load_postings
+
+    oracle = naive_inverted_index(synth_corpus_table)
+    got = load_postings(root)
+    assert set(got) == set(oracle)
+    for term, postings in oracle.items():
+        _, ids, tfs, dls = got[term]
+        assert list(ids) == [p[0] for p in postings], term
+        assert list(tfs) == [p[1] for p in postings], term
+        assert list(dls) == [p[2] for p in postings], term
