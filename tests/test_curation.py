@@ -70,3 +70,42 @@ def test_curated_artifact_matches_kept(curated):
     kept_ids = sorted(d for d, s in statuses.items() if s == "kept")
     assert written["doc_id"].to_pylist() == kept_ids
     assert written.num_rows == counts["kept"]
+
+
+def test_curated_corpus_feeds_index_build(curated, tmp_path, ray_session):
+    """The flagship chain: curated parquet artifact -> inverted-index
+    build -> BM25 queries, with doc count equal to the kept set."""
+    import pyarrow as pa
+
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+    from pyf_aggregator_ray.state import manifest as mf
+
+    _tbl, counts, statuses, out_dir = curated
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "repo": pa.array(["org/curated"] * n),
+                "path": pa.array([f"doc_{i}" for i in range(n)]),
+                "commit": pa.array(["c0"] * n),
+                "lang": pa.array(["en"] * n),
+                "content": t["text"],
+            }
+        )
+
+    corpus = ray.data.read_parquet(out_dir).map_batches(
+        to_corpus, batch_format="pyarrow"
+    )
+    root = str(tmp_path / "curated_index")
+    manifest = build_index(
+        "", root, EngineConfig(), corpus=corpus, num_parts=2
+    )
+    assert manifest["stats"]["num_docs"] == counts["kept"]
+    hits = IndexReader(root).score("data table", 5)
+    assert hits  # the curated corpus is queryable
+    kept = {d for d, s in statuses.items() if s == "kept"}
+    assert all(doc in kept for _r, doc, _s in hits)
