@@ -456,6 +456,9 @@ def sliding_window(sf_dir: str) -> pd.DataFrame:
     n_slides = WINDOW_S // SLIDE_S
 
     def explode(t: pa.Table) -> pa.Table:
+        # ordering-defined windows: timestamp-less events are excluded
+        # here (the ingestion-side catch-all keeps them — see tumbling)
+        t = t.filter(pc.is_valid(t["ts"]))
         epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), US).to_numpy(
             zero_copy_only=False
         )
@@ -521,6 +524,8 @@ def user_running_total(sf_dir: str) -> ray.data.Dataset:
     groupby(user) -> sort within group -> cumsum in integer cents."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["ts"])), batch_format="pyarrow"
     )
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
