@@ -132,10 +132,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"live": None, "versions": mf.list_versions(args.index_root)}))
             return 0
         manifest = mf.read_manifest(live) or {}
+        try:
+            stats = mf.read_stats(live)
+        except FileNotFoundError:
+            stats = None
         print(json.dumps({
             "live": live,
             "versions": mf.list_versions(args.index_root),
-            "stats": mf.read_stats(live),
+            "stats": stats,
             "kind": manifest.get("kind", "full"),
             "config": manifest.get("config"),
         }, default=str))

@@ -212,14 +212,9 @@ def build_index(
     t = time.perf_counter()
     docs_pipeline = corpus_ds().map_batches(doc_meta_batch, batch_format="pyarrow")
     docs_pipeline.write_parquet(os.path.join(vdir, "docs"))
-    _ensure_parquet_dir(
-        os.path.join(vdir, "docs"),
-        pa.schema(
-            [("doc_id", pa.int64()), ("repo", pa.string()), ("path", pa.string()),
-             ("commit", pa.string()), ("lang", pa.string()), ("dl", pa.int64()),
-             ("sha256", pa.string())]
-        ),
-    )
+    from ..stages.tokenize import DOCS_SCHEMA
+
+    _ensure_parquet_dir(os.path.join(vdir, "docs"), DOCS_SCHEMA)
     metrics["docs_pass_sec"] = time.perf_counter() - t
     metrics["docs_pass_stats"] = _stats_excerpt(docs_pipeline)
 

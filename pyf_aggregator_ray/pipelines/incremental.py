@@ -40,11 +40,6 @@ from ray.data.aggregate import Count, Sum
 from ..config import DEFAULT, EngineConfig
 from ..stages import idsets
 from ..stages.postings import encode_partition
-
-
-@ray.remote
-def _arr_len(arr) -> int:
-    return int(len(arr))
 from ..stages.tokenize import TokenizeStage, doc_meta_batch
 from ..state import manifest as mf
 from .build_index import _merge_stage, _tokens_ds
@@ -81,10 +76,12 @@ def incremental_update(
     )
     overlap_ref = idsets.id_array_ref(idsets.semi_join_ids(delta_ids, live_ids))
     fresh = idsets.filter_out_ids(delta_corpus, overlap_ref)
-    # reference overflow detection (fetcher.py:425-471): a window that
-    # dropped NOTHING against the watermark likely overflowed — entries
-    # between the runs may have been missed; surface it in the manifest
-    n_overlap = int(ray.get(_arr_len.remote(overlap_ref)))
+    # reference overflow detection (fetcher.py:425-471): a NON-EMPTY
+    # window that dropped NOTHING against the watermark likely overflowed
+    # — entries between the runs may have been missed; surface it in the
+    # manifest (the overlap array is small — bounded by the delta)
+    n_overlap = len(ray.get(overlap_ref))
+    n_delta = delta_corpus.count()
 
     # ---- docs meta: old partitions + delta rows -> v_{N+1}/docs ----
     old_docs = ray.data.read_parquet(os.path.join(live, "docs"))
@@ -148,10 +145,10 @@ def incremental_update(
             "total_sec": time.perf_counter() - t0,
             "overlap_docs": n_overlap,
         },
-        # zero overlap means the incremental window may have missed
-        # entries between runs — the reference's overflow warning; a
-        # periodic full rebuild reconciles (S3/§2.10)
-        "window_overflow_warning": n_overlap == 0,
+        # a non-empty delta with zero overlap means the incremental
+        # window may have missed entries between runs — the reference's
+        # overflow warning; a periodic full rebuild reconciles (S3/§2.10)
+        "window_overflow_warning": n_delta > 0 and n_overlap == 0,
     }
     mf.write_manifest(vdir, manifest)
 

@@ -434,7 +434,7 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
 
 TUMBLING_SQL = f"""
 SELECT event_type,
-       (epoch_us(ts) // 1000000 // {WINDOW_S}) * {WINDOW_S} AS window_start,
+       coalesce((epoch_us(ts) // 1000000 // {WINDOW_S}) * {WINDOW_S}, -1) AS window_start,
        count(*)::BIGINT AS n,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT / 100.0 AS sum_value
 FROM events
@@ -504,6 +504,7 @@ WITH e AS (
          epoch_us(ts) // 1000000 AS epoch_s,
          CAST(round(value * 100) AS BIGINT) AS value_c
   FROM events
+  WHERE ts IS NOT NULL
 ),
 exploded AS (
   SELECT event_type, value_c,
@@ -544,6 +545,7 @@ SELECT user_id, event_id,
          ROWS UNBOUNDED PRECEDING
        )::BIGINT / 100.0 AS running_value
 FROM events
+WHERE ts IS NOT NULL
 ORDER BY user_id, event_id
 """
 
@@ -557,6 +559,8 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     map_groups gives no intra-group order guarantee)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["ts"])), batch_format="pyarrow"
     )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -581,6 +585,7 @@ SESSIONIZE_SQL = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) // 1000000 AS epoch
   FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, event_id, epoch,

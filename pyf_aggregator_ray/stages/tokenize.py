@@ -42,6 +42,13 @@ class TokenizeStage:
         return tf_tbl.append_column("dl", pa.array(dls, type=pa.int64()))
 
 
+DOCS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("repo", pa.string()), ("path", pa.string()),
+     ("commit", pa.string()), ("lang", pa.string()), ("dl", pa.int64()),
+     ("sha256", pa.string())]
+)
+
+
 def doc_meta_batch(batch: pa.Table) -> pa.Table:
     """Corpus batch -> document metadata (doc_id, repo, path, commit, lang,
     dl, sha256). The sha256 column is the north-rule per-row invariant."""
@@ -57,4 +64,4 @@ def doc_meta_batch(batch: pa.Table) -> pa.Table:
         "dl": doc_lengths(tokens),
         "sha256": sha256_column(batch["content"]),
     }
-    return pa.table(cols)
+    return pa.table(cols).cast(DOCS_SCHEMA)

@@ -96,3 +96,47 @@ def test_tumbling_window_routes_null_ts_to_catch_all(tmp_path, ray_session):
     assert catch_all.iloc[0]["sum_value"] == 6.0
     # the dated rows still aggregate normally
     assert (out["n"].sum()) == 4
+
+    # the ORACLES agree with the null policy on null-bearing data too
+    import duckdb
+
+    from pyf_aggregator_ray.pipelines.relational import (
+        RUNNING_TOTAL_SQL,
+        SESSIONIZE_SQL,
+        SLIDING_SQL,
+        TUMBLING_SQL,
+        sessionize,
+        sliding_window,
+        user_running_total,
+    )
+
+    full = pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "event_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+            "ts": tbl["ts"],
+            "value": tbl["value"],
+        }
+    )
+    pq.write_table(full, os.path.join(sf, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got_t = tumbling_window(sf).sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    exp_t = con.execute(TUMBLING_SQL).fetchdf().reset_index(drop=True)
+    assert got_t.equals(exp_t.astype(got_t.dtypes.to_dict()))
+    got_r = (
+        user_running_total(sf).to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    exp_r = con.execute(RUNNING_TOTAL_SQL).fetchdf().reset_index(drop=True)
+    assert got_r.reset_index(drop=True).equals(exp_r.astype(got_r.dtypes.to_dict()))
+    got_s = (
+        sessionize(sf).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    exp_s = con.execute(SESSIONIZE_SQL).fetchdf().reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    got_w = sliding_window(sf)
+    exp_w = con.execute(SLIDING_SQL).fetchdf()
+    assert len(got_w) == len(exp_w)
