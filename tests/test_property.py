@@ -186,3 +186,36 @@ def test_encode_merge_round_trip_matches_naive(token_lists, salt_range):
         assert tfs == [p[1] for p in postings], term
         assert dls == [p[2] for p in postings], term
         assert df == len(postings) and cf == sum(p[1] for p in postings)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9999),  # major
+            st.integers(0, 9999),  # minor
+            st.integers(0, 9),     # bugfix (single digit per the grammar)
+            st.integers(0, 4),     # release kind
+            st.integers(0, 9999),  # prerelease number
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_version_sortable_order_matches_semantic_order(specs):
+    """Lexicographic order of version_sortable strings equals semantic
+    order (stable above every prerelease; dev < alpha < beta < rc;
+    numeric fields compared numerically) for arbitrary versions."""
+    from pyf_aggregator_ray.functions.versions import version_sortable
+
+    kinds = ["", "dev", "a", "b", "rc"]
+    rank = {"": (1, 0), "dev": (0, 0), "a": (0, 1), "b": (0, 2), "rc": (0, 3)}
+    versions, keys = [], []
+    for maj, mi, bu, k, pre in specs:
+        kind = kinds[k]
+        versions.append(f"{maj}.{mi}.{bu}" + (f"{kind}{pre}" if kind else ""))
+        stable, prank = rank[kind]
+        keys.append((stable, maj, mi, bu, prank, pre if not stable else 0))
+    sortables = [version_sortable(v) for v in versions]
+    by_sortable = sorted(range(len(versions)), key=lambda i: (sortables[i], i))
+    by_key = sorted(range(len(versions)), key=lambda i: (keys[i], i))
+    assert [keys[i] for i in by_sortable] == [keys[i] for i in by_key]
