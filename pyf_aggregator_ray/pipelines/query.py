@@ -94,13 +94,16 @@ class IndexReader:
                 columns=["term", "df", "gaps", "tfs", "dls"],
                 filter=pads.field("term").isin(missing),
             )
-            from ..stages.postings import decode_posting_row
+            from ..stages.postings import decode_posting_batch
 
-            for i in range(tbl.num_rows):
-                row = {c: tbl[c][i].as_py() for c in ("gaps", "tfs", "dls")}
-                ids, tfs, dls = decode_posting_row(row)
-                df = int(tbl["df"][i].as_py())
-                self._cache[tbl["term"][i].as_py()] = (
+            counts, ids_all, tfs_all, dls_all = decode_posting_batch(tbl)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            for i, term in enumerate(tbl["term"].to_pylist()):
+                s, e = starts[i], ends[i]
+                ids, tfs, dls = ids_all[s:e], tfs_all[s:e], dls_all[s:e]
+                df = int(counts[i])
+                self._cache[term] = (
                     ids,
                     self._contribution(ids, tfs, dls, df),
                     df,

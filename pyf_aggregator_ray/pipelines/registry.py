@@ -283,7 +283,7 @@ def bm25_facets(sf_dir: str) -> pa.Table:
 
     from ..functions.tokenizer import tokenize_query
     from ..stages.dedup import cogroup_attach
-    from ..stages.postings import decode_posting_row
+    from ..stages.postings import decode_posting_batch
     from ray.data.aggregate import Count
 
     root = ensure_index(sf_dir)
@@ -293,11 +293,10 @@ def bm25_facets(sf_dir: str) -> pa.Table:
         if qid in FACET_QUERY_IDS:
             for t in tokenize_query(query):
                 term_q.setdefault(t, []).append(qid)
-    terms_arr = pa.array(sorted(term_q), type=pa.string())
 
     postings = ray.data.read_parquet(
         os.path.join(vdir, "postings"),
-        columns=["term", "gaps", "tfs", "dls"],
+        columns=["term", "df", "gaps", "tfs", "dls"],
         filter=pc.field("term").isin(sorted(term_q)),
     )
 
@@ -305,17 +304,24 @@ def bm25_facets(sf_dir: str) -> pa.Table:
         out_schema = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
         if t.num_rows == 0 or "term" not in t.column_names:
             return out_schema.empty_table()
-        qids, docs = [], []
-        for i in range(t.num_rows):
-            row = {c: t[c][i].as_py() for c in ("term", "gaps", "tfs", "dls")}
-            ids, _tfs, _dls = decode_posting_row(row)
-            for qid in term_q[row["term"]]:
-                qids.extend([qid] * len(ids))
-                docs.extend(ids.tolist())
+        # one vectorized decode for the whole batch; the only Python loop
+        # left is over (posting row x querying-query) — bounded by the
+        # query-term count, never by posting-list length
+        counts, ids, _tfs, _dls = decode_posting_batch(t)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        q_parts, d_parts = [], []
+        for i, term in enumerate(t["term"].to_pylist()):
+            seg = ids[starts[i] : ends[i]]
+            for qid in term_q[term]:
+                q_parts.append(np.full(len(seg), qid, dtype=np.int64))
+                d_parts.append(seg)
+        if not q_parts:
+            return out_schema.empty_table()
         return pa.table(
             {
-                "query_id": pa.array(qids, type=pa.int64()),
-                "doc_id": pa.array(docs, type=pa.int64()),
+                "query_id": pa.array(np.concatenate(q_parts)),
+                "doc_id": pa.array(np.concatenate(d_parts)),
             }
         )
 
@@ -604,13 +610,13 @@ def search_sorted_by_field(sf_dir: str) -> pa.Table:
     import numpy as np
     import pyarrow.compute as pc
 
-    from ..stages.postings import decode_posting_row
+    from ..stages.postings import decode_posting_batch
 
     root = ensure_index(sf_dir)
     vdir = mf.read_alias(root)
     postings = ray.data.read_parquet(
         os.path.join(vdir, "postings"),
-        columns=["term", "gaps", "tfs", "dls"],
+        columns=["term", "df", "gaps", "tfs", "dls"],
         filter=pc.field("term") == SORTED_RETRIEVAL_TERM,
     )
 
@@ -618,14 +624,9 @@ def search_sorted_by_field(sf_dir: str) -> pa.Table:
         out_schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())])
         if t.num_rows == 0 or "term" not in t.column_names:
             return out_schema.empty_table()
-        ids_l, dls_l = [], []
-        for i in range(t.num_rows):
-            row = {c: t[c][i].as_py() for c in ("term", "gaps", "tfs", "dls")}
-            ids, _tfs, dls = decode_posting_row(row)
-            ids_l.append(ids)
-            dls_l.append(dls)
-        ids = np.concatenate(ids_l)
-        dls = np.concatenate(dls_l)
+        # batched varint decode — flat vs posting-list length even when a
+        # hot term's salted shards make this batch large
+        _counts, ids, _tfs, dls = decode_posting_batch(t)
         top = np.lexsort((ids, -dls))[:SORTED_RETRIEVAL_K]
         return pa.table(
             {
