@@ -361,18 +361,63 @@ ORDER BY query_vec_id, rank
 
 def embedding_near_dup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs over the embeddings table (the
-    dedup family's dense-vector member)."""
+    dedup family's dense-vector member) — LSH-BANDED: hyperplane band
+    signatures bucket the vectors, cosine is verified only on bucket
+    candidates (no O(N·d) broadcast / O(N²) compute; the exact all-pairs
+    path remains the pytest recall oracle, tests/test_ann.py)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_stage.cosine_near_dup_pairs(
+    return ann_stage.banded_cosine_near_dup(
         emb, DEFAULT.embedding_cosine_threshold
     )
 
 
-EMBEDDING_NEAR_DUP_SQL = f"""
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       {sql_round6('list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+def _near_dup_plane_values() -> str:
+    """The banded near-dup's seeded hyperplane matrix as SQL literals —
+    from the SAME helper the engine uses, so the two sides cannot drift."""
+    planes = ann_stage.lsh_planes(ann_stage.NEAR_DUP_NUM_PLANES, ANN_DIM)
+    return ",\n    ".join(
+        f"({p}, {j + 1}, {planes[p, j]!r})"
+        for p in range(ann_stage.NEAR_DUP_NUM_PLANES)
+        for j in range(ANN_DIM)
+    )
+
+
+def embedding_near_dup_sql() -> str:
+    """Oracle replicating the banding exactly: plane literals -> sign
+    bits -> per-band signatures -> candidate pairs sharing >=1 band ->
+    cosine verification at the threshold."""
+    r = ann_stage.NEAR_DUP_NUM_PLANES // ann_stage.NEAR_DUP_NUM_BANDS
+    return f"""
+WITH planes(p, j, w) AS (VALUES
+    {_near_dup_plane_values()}
+),
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dot
+  FROM comp c JOIN planes pl ON pl.j = c.j
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, CAST(floor(p / {r}) AS BIGINT) AS band,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % {r})) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.doc_a, c.doc_b,
+       {sql_round6('list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])')} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.doc_a
+JOIN embeddings eb ON eb.vec_id = c.doc_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
       >= {DEFAULT.embedding_cosine_threshold}
 ORDER BY doc_a, doc_b
 """
@@ -739,7 +784,7 @@ def register_all() -> None:
     r.register("minhash_lsh_dedup", minhash_lsh, MINHASH_LSH_SQL)
     r.register("ngram_jaccard_pairs", ngram_jaccard, NGRAM_JACCARD_SQL)
     r.register("simhash_near_dup", simhash_pairs, SIMHASH_SQL)
-    r.register("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL)
+    r.register("embedding_near_dup", embedding_near_dup, embedding_near_dup_sql())
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
     r.register("ann_topk_lsh", ann_topk_lsh, ann_topk_lsh_sql())
     r.register("media_image_features", media_image_features, _image_features_sql())

@@ -345,30 +345,65 @@ def candidate_pairs(
     band_rows: ray.data.Dataset,
     max_bucket_size: int = 1000,
     distinct: bool = True,
+    num_parts: int = 64,
 ) -> ray.data.Dataset:
     """LSH buckets -> candidate (doc_a, doc_b) pairs.
+
+    Buckets are grouped by HASH PARTITION (``hash(bucket) % num_parts``),
+    not per-bucket ``map_groups``: a sparse banding (wide band bits)
+    yields millions of size-1 buckets, and per-group Python invocation
+    would dominate wall time. One ``map_groups`` call per partition sorts
+    its rows once and enumerates pairs only for multi-doc bucket runs.
 
     ``distinct=False`` skips the pair-dedup shuffle (a pair colliding in
     several bands appears once per collision) — correct whenever the
     consumer dedups anyway, e.g. a set-building task."""
 
     def key_batch(t: pa.Table) -> pa.Table:
-        key = [
-            f"{b}:{s}"
-            for b, s in zip(t["band"].to_pylist(), t["sig"].to_pylist())
-        ]
-        return t.append_column("bucket", pa.array(key, type=pa.string()))
+        key = np.array(
+            [
+                f"{b}:{s}"
+                for b, s in zip(t["band"].to_pylist(), t["sig"].to_pylist())
+            ],
+            dtype=object,
+        )
+        part = (pd.util.hash_array(key) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(key, type=pa.string())
+        ).append_column("part", pa.array(part))
 
-    def pairs_of_group(g: pa.Table) -> pa.Table:
-        docs = sorted(set(g["doc_id"].to_pylist()))[:max_bucket_size]
-        a, b = [], []
-        for x, y in itertools.combinations(docs, 2):
-            a.append(x)
-            b.append(y)
+    def pairs_of_part(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        buckets = g["bucket"].to_numpy(zero_copy_only=False).astype(object)
+        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs, buckets))
+        buckets, docs = buckets[order], docs[order]
+        change = np.empty(len(buckets), dtype=bool)
+        change[0] = True
+        change[1:] = buckets[1:] != buckets[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.concatenate([starts[1:], [len(buckets)]])
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # singleton bucket: no pairs (the common case)
+            run = np.unique(docs[s:e])[:max_bucket_size]
+            ia, ib = np.triu_indices(len(run), k=1)
+            a_parts.append(run[ia])
+            b_parts.append(run[ib])
+        if not a_parts:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array(a, type=pa.int64()),
-                "doc_b": pa.array(b, type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(a_parts)),
+                "doc_b": pa.array(np.concatenate(b_parts)),
             }
         )
 
@@ -376,8 +411,8 @@ def candidate_pairs(
 
     pairs = (
         band_rows.map_batches(key_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_of_part, batch_format="pyarrow")
     )
     if not distinct:
         return pairs

@@ -138,3 +138,89 @@ def test_ivf_recall(emb_table, ray_session):
         [len(by_q[q] & exact_by_q[q]) / len(exact_by_q[q]) for q in (0, 3, 50)]
     )
     assert recall > 0.4
+
+
+def test_banded_near_dup_recall_and_precision(ray_session):
+    """LSH-banded near-dup vs the exact all-pairs oracle on a clustered
+    corpus: precision is 1.0 (every emitted pair re-verified >= threshold)
+    and banding recall is high at the configured plane/band split."""
+    rng = np.random.default_rng(11)
+    n, dim = 400, 64
+    base = rng.standard_normal((20, dim))
+    rows = []
+    for i in range(n):
+        c = base[i % 20]
+        rows.append(c + 0.55 * rng.standard_normal(dim))
+    m = np.array(rows, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    thr = 0.4
+    exact = ann.cosine_near_dup_pairs(ds, thr)
+    banded = ann.banded_cosine_near_dup(ds, thr)
+    exact_pairs = set(zip(exact["doc_a"].to_pylist(), exact["doc_b"].to_pylist()))
+    banded_pairs = set(zip(banded["doc_a"].to_pylist(), banded["doc_b"].to_pylist()))
+    assert exact_pairs, "fixture must contain near-dup pairs"
+    # precision: banded emits only true >=threshold pairs
+    assert banded_pairs <= exact_pairs
+    # recall: the 16x4-bit banding keeps the overwhelming majority
+    recall = len(banded_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"banding recall {recall:.3f}"
+    # cosines agree with the exact path on shared pairs
+    ecos = {
+        (a, b): c
+        for a, b, c in zip(
+            exact["doc_a"].to_pylist(),
+            exact["doc_b"].to_pylist(),
+            exact["cosine"].to_pylist(),
+        )
+    }
+    for a, b, c in zip(
+        banded["doc_a"].to_pylist(),
+        banded["doc_b"].to_pylist(),
+        banded["cosine"].to_pylist(),
+    ):
+        assert abs(ecos[(a, b)] - c) < 1e-12
+
+
+def test_banded_near_dup_no_full_matrix_broadcast(ray_session, monkeypatch):
+    """Scale guard: the banded path must never assemble the O(N·d) full
+    normalized matrix (the exact path's broadcast). 50k vectors with
+    planted duplicate pairs complete through banding + candidate-restricted
+    verification with the full-matrix task poisoned."""
+
+    def _poisoned(*a, **k):
+        raise AssertionError("banded path must not build the full matrix")
+
+    monkeypatch.setattr(ann, "_normalized_matrix_task", _poisoned)
+
+    rng = np.random.default_rng(5)
+    n, dim = 50_000, 16
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant 25 exact-duplicate pairs (cosine 1.0 >= any threshold)
+    planted = [(2 * i, 2 * i + 1) for i in range(0, 50, 2)]
+    for a, b in planted:
+        m[b] = m[a]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    # wide bands (4 x 16 bits): random 16-dim pairs almost never collide,
+    # identical vectors always do — candidate volume stays tiny at 50k
+    got = ann.banded_cosine_near_dup(
+        ds, 0.99, num_planes=64, num_bands=4
+    )
+    pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    for p in planted:
+        assert p in pairs
