@@ -726,3 +726,7 @@ _npmpipes.register_all()
 from . import curation as _curation  # noqa: E402
 
 _curation.register_all()
+
+from . import maintpipes as _maintpipes  # noqa: E402
+
+_maintpipes.register_all()
