@@ -409,59 +409,119 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def typo_search(sf_dir: str) -> pa.Table:
-    """Typo-tolerant search (the reference engine's flagship typing
-    surface: Typesense matches terms within an edit distance): each query
-    token expands to every dictionary term within Levenshtein distance 1,
-    and the expanded distinct term set scores through the normal BM25
-    scorer actors.
+TYPO_ARTIFACT_DIST = 2  # one artifact serves both distance-1 and -2 queries
 
-    The expansion is a DISTRIBUTED dictionary scan: a vectorized length
-    prune (|len(term) - len(token)| <= 1) inside map_batches, exact edit
-    distance only on the survivors, and only the (query_id, term) matches
-    — bounded by the expansion size — reach the driver."""
-    import numpy as np
-    import pyarrow.compute as pc
 
-    from ..functions.tokenizer import tokenize_query
+def _deletes(s: str, d: int) -> set[str]:
+    """All strings reachable from ``s`` by at most ``d`` character
+    deletions (including ``s`` itself) — the SymSpell key neighborhood."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        frontier = nxt - out
+        out |= nxt
+    return out
 
-    root = ensure_index(sf_dir)
-    vdir = mf.read_alias(root)
-    qtokens = {qid: tokenize_query(query) for qid, query, _k in TYPO_QUERIES}
-    tokens_ref = ray.put(qtokens)
 
-    def match_terms(t: pa.Table) -> pa.Table:
-        out_schema = pa.schema([("query_id", pa.int64()), ("term", pa.string())])
-        if t.num_rows == 0 or "term" not in t.column_names:
-            return out_schema.empty_table()
-        qt = ray.get(tokens_ref)
-        terms = t["term"].to_pylist()
-        lens = np.array([len(x) for x in terms])
-        out_q, out_t = [], []
-        for qid, toks in qt.items():
-            for tok in toks:
-                cand = np.flatnonzero(np.abs(lens - len(tok)) <= 1)
-                for i in cand:
-                    if _levenshtein(tok, terms[i]) <= 1:
-                        out_q.append(qid)
-                        out_t.append(terms[i])
+def ensure_typo_artifact(vdir: str, max_dist: int = TYPO_ARTIFACT_DIST) -> str:
+    """Build (once per index version) the deletion-neighborhood term index
+    — the SymSpell artifact the round-2 verdict asked for. Rows are
+    (key, term) where key ranges over every <=``max_dist``-deletion
+    variant of the term; ``lev(a, b) <= d`` implies the two deletion
+    neighborhoods share a key, so query-time expansion is a bounded
+    pushdown LOOKUP into this artifact instead of an O(vocab) dictionary
+    scan with scalar edit distance per query.
+
+    Size is sum over terms of O(len^max_dist) keys — an index-build-side
+    cost paid once and amortized over every typed query (the SymSpell
+    trade); for very long terms the standard prefix-truncation
+    optimization is the next lever (not needed at this corpus's term
+    lengths)."""
+    path = os.path.join(vdir, f"typo_d{max_dist}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+
+    def expand(t: pa.Table) -> pa.Table:
+        keys, terms = [], []
+        for term in t["term"].to_pylist():
+            for k in _deletes(term, max_dist):
+                keys.append(k)
+                terms.append(term)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "term": pa.array(out_t, type=pa.string()),
+                "key": pa.array(keys, type=pa.string()),
+                "term": pa.array(terms, type=pa.string()),
             }
         )
 
     dictionary = ray.data.read_parquet(
         os.path.join(vdir, "postings"), columns=["term"]
     )
-    matches: dict[int, set[str]] = {qid: set() for qid in qtokens}
-    for r in dictionary.map_batches(match_terms, batch_format="pyarrow").take_all():
-        matches[r["query_id"]].add(r["term"])
+    # sort by key -> parquet row-group min/max stats make the query-time
+    # isin pushdown skip non-matching row groups
+    dictionary.map_batches(expand, batch_format="pyarrow").sort("key").write_parquet(
+        path
+    )
+    open(marker, "w").close()
+    return path
 
+
+def _typo_expand(
+    vdir: str, qtokens: dict[int, list[str]], max_dist: int
+) -> dict[int, set[str]]:
+    """query-id -> dictionary terms within ``max_dist`` edits of any of
+    its tokens, via bounded artifact lookups + exact verification on the
+    (small) candidate set."""
+    import pyarrow.compute as pc
+
+    art = ensure_typo_artifact(vdir)
+    key_of_tok: dict[str, set[str]] = {}
+    for toks in qtokens.values():
+        for tok in toks:
+            # query-side deletes only to depth max_dist; artifact keys go
+            # to TYPO_ARTIFACT_DIST >= max_dist, so every lev<=max_dist
+            # term still collides
+            key_of_tok.setdefault(tok, _deletes(tok, max_dist))
+    all_keys = sorted(set().union(*key_of_tok.values())) if key_of_tok else []
+    if not all_keys:
+        return {qid: set() for qid in qtokens}
+    cand_ds = ray.data.read_parquet(
+        art, columns=["key", "term"], filter=pc.field("key").isin(all_keys)
+    )
+    cand_terms: set[str] = set()
+    for r in cand_ds.take_all():
+        cand_terms.add(r["term"])
+    out: dict[int, set[str]] = {qid: set() for qid in qtokens}
+    for qid, toks in qtokens.items():
+        for tok in toks:
+            for term in cand_terms:
+                if abs(len(term) - len(tok)) <= max_dist and (
+                    _levenshtein(tok, term) <= max_dist
+                ):
+                    out[qid].add(term)
+    return out
+
+
+def _typo_topk(
+    sf_dir: str, queryset: list[tuple[int, str, int]], max_dist: int
+) -> pa.Table:
+    """Shared engine for typo-tolerant search at a given edit distance:
+    artifact-based expansion, then the expanded distinct term sets score
+    through the normal BM25 scorer actors."""
+    from ..functions.tokenizer import tokenize_query
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    qtokens = {qid: tokenize_query(query) for qid, query, _k in queryset}
+    matches = _typo_expand(vdir, qtokens, max_dist)
     expanded = [
         (qid, " ".join(sorted(matches[qid])), k)
-        for qid, _query, k in TYPO_QUERIES
+        for qid, _query, k in queryset
         if matches[qid]
     ]
     if not expanded:
@@ -474,10 +534,36 @@ def typo_search(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def typo_search_sql() -> str:
+def typo_search(sf_dir: str) -> pa.Table:
+    """Typo-tolerant search (the reference engine's flagship typing
+    surface: Typesense matches terms within an edit distance): each query
+    token expands to every dictionary term within Levenshtein distance 1
+    via the SymSpell deletion-neighborhood artifact (bounded lookups, no
+    per-query dictionary scan), and the expanded distinct term set scores
+    through the normal BM25 scorer actors."""
+    return _typo_topk(sf_dir, TYPO_QUERIES, max_dist=1)
+
+
+TYPO2_QUERIES: list[tuple[int, str, int]] = [
+    (0, "mergee sorrt", 10),  # two distance-2-reachable tokens
+    (1, "spaark", 10),        # distance 1 still matches at d=2
+    (2, "custoomer", 10),     # custoomer -> customer (1 deletion)
+    (3, "qqqqqqqq", 10),      # nothing within distance 2 -> empty
+]
+
+
+def typo_search2(sf_dir: str) -> pa.Table:
+    """Distance-2 typo search (the reference engine's DEFAULT typo
+    budget: Typesense ``num_typos=2``) through the same artifact path."""
+    return _typo_topk(sf_dir, TYPO2_QUERIES, max_dist=2)
+
+
+def typo_search_sql(
+    queries: list[tuple[int, str, int]] | None = None, max_dist: int = 1
+) -> str:
     cfg = DEFAULT
     values = ",\n    ".join(
-        f"({qid}, '{query}', {k})" for qid, query, k in TYPO_QUERIES
+        f"({qid}, '{query}', {k})" for qid, query, k in (queries or TYPO_QUERIES)
     )
     return f"""
 WITH corpus AS ({q.CORPUS_SQL}),
@@ -502,7 +588,7 @@ qtoks AS (
 ),
 qterms AS (
   SELECT DISTINCT q.query_id, q.k, d.term
-  FROM qtoks q JOIN df d ON levenshtein(q.qt, d.term) <= 1
+  FROM qtoks q JOIN df d ON levenshtein(q.qt, d.term) <= {max_dist}
 ),
 scored AS (
   SELECT q.query_id, q.k, tf.doc_id,
@@ -683,6 +769,7 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "search_sorted_by_field": (search_sorted_by_field, SORTED_RETRIEVAL_SQL),
     "prefix_search": (prefix_search, prefix_search_sql()),
     "typo_search": (typo_search, typo_search_sql()),
+    "typo_search2": (typo_search2, typo_search_sql(TYPO2_QUERIES, max_dist=2)),
     "index_term_stats": (index_term_stats, TERM_STATS_SQL),
     "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
     "doc_sha256": (doc_sha256, DOC_SHA256_SQL),

@@ -14,6 +14,11 @@ FEATURES = [
     "search_sorted_by_field",
     "prefix_search",
     "typo_search",
+    "typo_search2",
+    "weighted_field_search",
+    "incremental_term_stats",
+    "delete_lang_term_stats",
+    "refresh_merge_docs",
     "top_contributors",
     "npm_version_expansion",
     "embedding_near_dup",
@@ -52,3 +57,37 @@ def test_feature_matches_oracle(contract, name):
             ).all(), (name, c)
         else:
             assert (r1[c].astype(str) == r2[c].astype(str)).all(), (name, c)
+
+
+def test_symspell_expansion_complete(ray_session):
+    """SymSpell property on the real dictionary: artifact-based expansion
+    finds EXACTLY the terms a brute-force Levenshtein scan finds, at both
+    distance budgets (lev<=d implies shared <=d-deletion key, and the
+    verification step prunes the rest)."""
+    from pyf_aggregator_ray.pipelines.registry import (
+        _levenshtein,
+        _typo_expand,
+        ensure_index,
+    )
+    from pyf_aggregator_ray.state import manifest as mf
+    import duckdb
+    import os
+
+    root = ensure_index(SF)
+    vdir = mf.read_alias(root)
+    vocab = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+            f" FROM read_parquet('{SF}/documents.parquet')"
+        )
+        .fetchall()
+    ]
+    tokens = ["mergw", "sparc", "custoomer", "tble", "qqqq", "windoww"]
+    for d in (1, 2):
+        got = _typo_expand(vdir, {0: tokens}, d)[0]
+        want = {
+            t for t in vocab if any(_levenshtein(tok, t) <= d for tok in tokens)
+        }
+        assert got == want, (d, got ^ want)
