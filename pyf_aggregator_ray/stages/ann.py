@@ -258,6 +258,50 @@ def ivf_centroids(num_centroids: int, dim: int, seed: int = 42) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    num_centroids: int,
+    seed: int = 42,
+    sample_n: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic spherical k-means codebook on a BOUNDED sample
+    (vec_id < sample_n — a fixed predicate, so the sample is independent
+    of block order): seeded init from sample rows, fixed iteration count,
+    argmax-dot assignment (ties to the lowest centroid id via argmax's
+    first-max rule), normalized-mean update, empty clusters keep their
+    previous centroid. Unlike the seeded-random codebook
+    (:func:`ivf_centroids`), a trained codebook adapts the inverted lists
+    to the data's cluster structure — recall at equal nprobe is asserted
+    against brute force in tests/test_ann.py on a clustered distribution.
+    (The driver-contract `ann_topk_ivf` entry keeps the seeded codebook:
+    a static SQL oracle cannot replicate data-dependent training.)"""
+    sample_ds = embeddings.map_batches(
+        lambda t: t.filter(
+            pa.compute.less(t["vec_id"], pa.scalar(sample_n))
+        ),
+        batch_format="pyarrow",
+    )
+    tbls = [t for t in (ray.get(r) for r in sample_ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        raise ValueError("no sample rows with vec_id < sample_n")
+    sample = pa.concat_tables(tbls).sort_by("vec_id")
+    m = _normalize(_emb_matrix(sample))
+    rng = np.random.default_rng(seed)
+    init_idx = rng.choice(len(m), size=min(num_centroids, len(m)), replace=False)
+    c = m[np.sort(init_idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(len(c)):
+            members = m[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    c[j] = mean / norm
+    return c
+
+
 def ivf_topk(
     embeddings: ray.data.Dataset,
     query_vec_ids: list[int],
@@ -265,6 +309,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF-bucketed approximate top-k: vectors are assigned to their
     nearest centroid (argmax raw-dot against the normalized codebook —
@@ -272,9 +317,11 @@ def ivf_topk(
     ``nprobe`` centroids closest to it. Same output schema and rounded-
     cosine ranking as brute_force_topk; recall measured in tests, exact
     replication in the SQL oracle."""
-    first = embeddings.take(1)[0]
-    dim = len(first["embedding"])
-    centroids = ivf_centroids(num_centroids, dim, seed)
+    if centroids is None:
+        first = embeddings.take(1)[0]
+        dim = len(first["embedding"])
+        centroids = ivf_centroids(num_centroids, dim, seed)
+    num_centroids = len(centroids)
     cent_ref = ray.put(centroids)
 
     def assign_batch(t: pa.Table) -> pa.Table:

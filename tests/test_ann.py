@@ -224,3 +224,42 @@ def test_banded_near_dup_no_full_matrix_broadcast(ray_session, monkeypatch):
     pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
     for p in planted:
         assert p in pairs
+
+
+def test_ivf_trained_codebook_recall_floor(ray_session):
+    """k-means-trained IVF on a clustered distribution: with a codebook
+    matching the true cluster count, nprobe=2 recall vs brute force
+    clears a floor an untrained random codebook is not held to."""
+    rng = np.random.default_rng(21)
+    n_clusters, per, dim = 8, 60, 32
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    rows = []
+    for i in range(n_clusters * per):
+        rows.append(centers[i % n_clusters] + 0.3 * rng.standard_normal(dim))
+    m = np.array(rows, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(m)), type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    qids = [0, 5, 123, 250, 401]
+    k = 10
+    exact = ann.brute_force_topk(ds, qids, k)
+    trained = ann.train_ivf_centroids(ds, n_clusters, sample_n=480)
+    # determinism: same inputs -> identical codebook
+    trained2 = ann.train_ivf_centroids(ds, n_clusters, sample_n=480)
+    np.testing.assert_array_equal(trained, trained2)
+    approx = ann.ivf_topk(ds, qids, k, nprobe=2, centroids=trained)
+    exact_by_q, by_q = {}, {}
+    for q, v in zip(exact["query_vec_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        exact_by_q.setdefault(q, set()).add(v)
+    for q, v in zip(approx["query_vec_id"].to_pylist(), approx["vec_id"].to_pylist()):
+        by_q.setdefault(q, set()).add(v)
+    recall = np.mean(
+        [len(by_q.get(q, set()) & exact_by_q[q]) / len(exact_by_q[q]) for q in qids]
+    )
+    assert recall >= 0.9, f"trained IVF recall {recall:.3f}"
