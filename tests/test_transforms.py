@@ -463,3 +463,201 @@ def test_field_search_index_only(ray_session, tmp_path):
     assert set(out["query_id"]) == {0, 1}
     assert (out.groupby("query_id")["rank"].max() == 5).all()
     assert (out["score"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# splitter boundary goldens ported from the reference suite
+# (/root/reference/tests/test_description_splitter.py:282-640)
+# ---------------------------------------------------------------------------
+
+from pyf_aggregator_ray.functions.transforms import split_description_html
+
+
+class TestSplitterBoundaryGoldens:
+    SIMPLE = "<h2>Package Title</h2><p>This is the package description.</p>"
+    MULTI = (
+        "<h2>Package Title</h2><p>Introduction paragraph.</p>"
+        "<h2>Installation</h2><p>Install with pip.</p>"
+        "<h2>Usage</h2><p>How to use the package.</p>"
+    )
+    WITH_CHANGELOG = (
+        "<h2>Package Title</h2><p>Introduction paragraph.</p>"
+        "<h2>Features</h2><p>Feature list here.</p>"
+        "<h2>Changelog</h2><h3>1.0.0</h3><p>Initial release.</p>"
+        "<h3>0.9.0</h3><p>Beta release.</p>"
+    )
+    STARTS_WITH_TEXT = (
+        "<p>This is an helper package for something.</p>"
+        '<p><img src="badge.png" alt="badge"></p>'
+        "<h3>Features</h3><p>Feature list here.</p>"
+        "<h3>Installation</h3><p>Install instructions.</p>"
+    )
+    STARTS_WITH_TEXT_AND_CHANGELOG = (
+        "<p>This is a package description.</p>"
+        "<h3>Features</h3><p>Feature list here.</p>"
+        "<h3>Changelog</h3><p>Version history.</p>"
+    )
+
+    # ---- title ----
+    def test_extracts_first_h2_as_title(self):
+        assert split_description_html(self.SIMPLE)["title"] == "Package Title"
+
+    def test_title_is_plain_text(self):
+        html = "<h2>Title with <strong>bold</strong> text</h2><p>Content</p>"
+        r = split_description_html(html)
+        assert r["title"] == "Title with bold text"
+        assert "<" not in r["title"]
+
+    def test_title_strips_whitespace(self):
+        r = split_description_html("<h2>  Spaced Title  </h2><p>Content</p>")
+        assert r["title"] == "Spaced Title"
+
+    def test_no_headings_empty_title(self):
+        r = split_description_html("<p>Just some content.</p><p>Another paragraph.</p>")
+        assert r["title"] == ""
+        assert "Just some content" in r["first_chapter"]
+        assert "Another paragraph" in r["first_chapter"]
+
+    def test_multiple_h2_uses_first(self):
+        assert split_description_html(self.MULTI)["title"] == "Package Title"
+
+    # ---- first chapter ----
+    def test_first_chapter_until_second_heading(self):
+        r = split_description_html(self.MULTI)
+        assert "Introduction paragraph" in r["first_chapter"]
+        assert "Install with pip" not in r["first_chapter"]
+
+    def test_first_chapter_includes_first_heading(self):
+        r = split_description_html(self.SIMPLE)
+        assert "Package Title" in r["first_chapter"]
+        assert "package description" in r["first_chapter"]
+
+    def test_starts_with_text_excludes_first_heading(self):
+        r = split_description_html(self.STARTS_WITH_TEXT)
+        assert "helper package" in r["first_chapter"]
+        assert "Features" not in r["first_chapter"]
+        assert "<h3>" not in r["first_chapter"]
+
+    def test_starts_with_text_main_content_starts_at_first_heading(self):
+        r = split_description_html(self.STARTS_WITH_TEXT)
+        assert "Features" in r["main_content"]
+        assert "Feature list" in r["main_content"]
+        assert "Installation" in r["main_content"]
+
+    def test_starts_with_text_title_from_first_heading(self):
+        assert split_description_html(self.STARTS_WITH_TEXT)["title"] == "Features"
+
+    def test_starts_with_text_strips_images_from_first_chapter(self):
+        r = split_description_html(self.STARTS_WITH_TEXT)
+        assert "<img" not in r["first_chapter"]
+
+    def test_starts_with_text_and_changelog(self):
+        r = split_description_html(self.STARTS_WITH_TEXT_AND_CHANGELOG)
+        assert "package description" in r["first_chapter"]
+        assert "Features" not in r["first_chapter"]
+        assert "Features" in r["main_content"]
+        assert "Feature list" in r["main_content"]
+        assert "Changelog" not in r["main_content"]
+        assert "Changelog" in r["changelog"]
+        assert "Version history" in r["changelog"]
+
+    # ---- main content ----
+    def test_main_content_excludes_first_chapter(self):
+        assert "Introduction paragraph" not in split_description_html(self.MULTI)[
+            "main_content"
+        ]
+
+    def test_main_content_includes_middle_sections(self):
+        r = split_description_html(self.MULTI)
+        assert "Install with pip" in r["main_content"]
+        assert "How to use" in r["main_content"]
+
+    def test_main_content_excludes_changelog(self):
+        r = split_description_html(self.WITH_CHANGELOG)
+        assert "Feature list" in r["main_content"]
+        assert "Initial release" not in r["main_content"]
+        assert "Beta release" not in r["main_content"]
+
+    def test_no_middle_sections_empty_main_content(self):
+        assert split_description_html(self.SIMPLE)["main_content"] == ""
+
+    def test_no_changelog_all_middle_in_main_content(self):
+        r = split_description_html(self.MULTI)
+        assert "Installation" in r["main_content"]
+        assert "Usage" in r["main_content"]
+
+    # ---- changelog detection ----
+    @pytest.mark.parametrize(
+        "heading,body",
+        [
+            ("Changelog", "Changes here"),
+            ("History", "Version history here"),
+            ("Release Notes", "Release notes here"),
+            ("Changes", "Change log"),
+            ("What's New", "New features"),
+            ("Versions", "Version list"),
+            ("CHANGELOG", "Upper changes"),
+        ],
+    )
+    def test_detects_changelog_heading_variants(self, heading, body):
+        html = f"<h2>Title</h2><p>Intro</p><h2>{heading}</h2><p>{body}</p>"
+        assert body in split_description_html(html)["changelog"]
+
+    def test_changelog_includes_subsections(self):
+        r = split_description_html(self.WITH_CHANGELOG)
+        assert "1.0.0" in r["changelog"]
+        assert "0.9.0" in r["changelog"]
+        assert "Initial release" in r["changelog"]
+        assert "Beta release" in r["changelog"]
+
+    def test_h3_changelog_detection(self):
+        html = (
+            "<h2>Title</h2><p>Intro</p><h2>More</h2>"
+            "<h3>Changelog</h3><p>Changes</p>"
+        )
+        assert "Changes" in split_description_html(html)["changelog"]
+
+    def test_no_changelog_empty_string(self):
+        assert split_description_html(self.MULTI)["changelog"] == ""
+
+    # ---- edge cases ----
+    @pytest.mark.parametrize("raw", [None, "", "   \n\t  "])
+    def test_degenerate_inputs_all_empty(self, raw):
+        r = split_description_html(raw)
+        assert r == {
+            "title": "", "first_chapter": "", "main_content": "", "changelog": "",
+        }
+
+    def test_only_changelog_section(self):
+        html = "<h2>Title</h2><p>Intro</p><h2>Changelog</h2><p>Changes</p>"
+        r = split_description_html(html)
+        assert r["title"] == "Title"
+        assert "Intro" in r["first_chapter"]
+        assert r["main_content"] == ""
+        assert "Changes" in r["changelog"]
+
+    # ---- heading levels ----
+    def test_h4_only(self):
+        html = (
+            "<h4>Package Title</h4><p>Introduction paragraph.</p>"
+            "<h4>Installation</h4><p>Install instructions.</p>"
+        )
+        r = split_description_html(html)
+        assert r["title"] == "Package Title"
+        assert "Introduction paragraph" in r["first_chapter"]
+        assert "Install instructions" not in r["first_chapter"]
+        assert "Install instructions" in r["main_content"]
+
+    def test_mixed_h4_h5_splits_at_second_heading(self):
+        html = (
+            "<h4>Package Title</h4><p>Introduction paragraph.</p>"
+            "<h5>Sub-section</h5><p>Sub-section content.</p>"
+        )
+        r = split_description_html(html)
+        assert r["title"] == "Package Title"
+        assert "Introduction paragraph" in r["first_chapter"]
+        assert "Sub-section content" not in r["first_chapter"]
+
+    def test_h1_title(self):
+        html = "<h1>Big Title</h1><p>Content.</p>"
+        assert split_description_html(html)["title"] == "Big Title"
