@@ -772,9 +772,72 @@ ORDER BY query_vec_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# M11 screenshot detector (driver query — the last §2 operator family
+# without driver exposure in round 2)
+# ---------------------------------------------------------------------------
+
+
+def screenshot_urls(sf_dir: str) -> ray.data.Dataset:
+    """Run the M11 screenshot detector (badge exclusion + HTML width
+    semantics, ``functions/transforms.py find_screenshots``) over a
+    deterministic per-document markdown constructed from doc_id alone —
+    every branch is exercised (markdown image kept, badge markdown
+    dropped, HTML img kept/dropped by attribute width, style width,
+    badge-URL HTML img dropped despite large width) and the oracle
+    reproduces the kept set arithmetically."""
+    from ..functions.transforms import find_screenshots
+
+    def detect(t: pa.Table) -> pa.Table:
+        ids_out, urls = [], []
+        for i in t["doc_id"].to_pylist():
+            parts = [f"![shot](https://example.com/shots/{i}.png)"]
+            if i % 2 == 0:
+                parts.append(f"![badge](https://img.shields.io/b/{i}.svg)")
+            if i % 3 == 0:
+                w = 100 + (i % 5) * 50
+                parts.append(f'<img src="https://example.com/img/{i}.png" width="{w}">')
+            if i % 7 == 0:
+                sw = 150 + (i % 4) * 50
+                parts.append(
+                    f'<img src="https://example.com/style/{i}.png" style="width: {sw}px">'
+                )
+            if i % 11 == 0:
+                parts.append(
+                    f'<img src="https://travis-ci.org/x/{i}.svg" width="800">'
+                )
+            for url in find_screenshots("\n".join(parts)):
+                ids_out.append(i)
+                urls.append(url)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(detect, batch_format="pyarrow")
+
+
+SCREENSHOT_URLS_SQL = """
+WITH d AS (SELECT doc_id FROM documents)
+SELECT doc_id, 'https://example.com/shots/' || doc_id || '.png' AS url FROM d
+UNION ALL
+SELECT doc_id, 'https://example.com/img/' || doc_id || '.png' AS url FROM d
+WHERE doc_id % 3 = 0 AND 100 + (doc_id % 5) * 50 >= 200
+UNION ALL
+SELECT doc_id, 'https://example.com/style/' || doc_id || '.png' AS url FROM d
+WHERE doc_id % 7 = 0 AND 150 + (doc_id % 4) * 50 >= 200
+ORDER BY doc_id, url
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
+    r.register("screenshot_urls", screenshot_urls, SCREENSHOT_URLS_SQL)
     r.register("ann_topk_ivf", ann_topk_ivf, ann_topk_ivf_sql())
     r.register("langid", langid, LANGID_SQL)
     r.register("token_count", token_count, TOKEN_COUNT_SQL)
