@@ -30,7 +30,6 @@ import pyarrow.compute as pc
 
 from ..functions.varint import (
     decode_varint,
-    encode_varint,
     encode_varint_with_lengths,
 )
 
@@ -150,20 +149,20 @@ def encode_partition(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _varint_len_of_first(buf: memoryview) -> int:
-    i = 0
-    while buf[i] & 0x80:
-        i += 1
-    return i + 1
-
-
 def merge_partition(tbl: pa.Table) -> pa.Table:
     """Merge shard rows into one posting row per term.
 
-    Shards of a term are disjoint doc-id ranges (range salting), so the
-    merge is ordered concatenation; only the first varint of each
-    non-initial shard (absolute doc id) is rewritten to a cross-shard
-    delta. Single-shard terms (the vast majority) pass through untouched.
+    Single-shard terms (the vast majority) pass through as ONE Arrow take
+    — no per-row Python. All multi-shard (hot/salted) terms merge in ONE
+    vectorized pass: batched varint decode of every shard, a global
+    (term, doc_id) lexsort, segmented re-delta with reset at term starts,
+    and a single varint re-encode sliced back into per-term streams.
+    Varint encoding is value-deterministic, so the re-encode is
+    byte-identical to an ordered concat with boundary-gap rewrite (the
+    disjoint range-salting case) while also handling interleaved shard
+    intervals with no separate slow path. Doc SETS must be disjoint
+    across a term's shards; a duplicate doc id means a build bug and
+    raises.
     """
     if tbl.num_rows == 0:
         return merged_schema().empty_table()
@@ -171,90 +170,68 @@ def merge_partition(tbl: pa.Table) -> pa.Table:
     terms = tbl["term"].to_numpy(zero_copy_only=False)
     starts = _group_starts(terms, np.zeros(len(terms), dtype=np.int64))
     ends = np.concatenate([starts[1:], [len(terms)]])
-
     sizes = ends - starts
-    df_arr = tbl["df"].to_numpy(zero_copy_only=False)
-    cf_arr = tbl["cf"].to_numpy(zero_copy_only=False)
-    first_arr = tbl["first_doc"].to_numpy(zero_copy_only=False)
-    last_arr = tbl["last_doc"].to_numpy(zero_copy_only=False)
 
-    # single-shard terms (the vast majority) pass through as ONE Arrow
-    # take — no per-row Python; only multi-shard (hot/salted) terms take
-    # the merge loop below
     single_tbl = tbl.take(
         pa.array(starts[sizes == 1], type=pa.int64())
     ).select(merged_schema().names)
     if not np.any(sizes > 1):
         return single_tbl
 
-    gaps_col = tbl["gaps"]
-    tfs_col = tbl["tfs"]
-    dls_col = tbl["dls"]
+    # ---- vectorized multi-shard merge ----
+    multi_starts = starts[sizes > 1]
+    multi_ends = ends[sizes > 1]
+    row_idx = np.concatenate(
+        [np.arange(s, e) for s, e in zip(multi_starts, multi_ends)]
+    )
+    sub = tbl.take(pa.array(row_idx, type=pa.int64()))
+    counts, ids, tfs, dls = decode_posting_batch(sub)
+    # term group number per shard row, then per posting value
+    tgrp_of_row = np.repeat(
+        np.arange(len(multi_starts)), (multi_ends - multi_starts)
+    )
+    tgrp = np.repeat(tgrp_of_row, counts)
+    order = np.lexsort((ids, tgrp))
+    ids, tfs, dls, tgrp = ids[order], tfs[order], dls[order], tgrp[order]
 
-    o_term, o_df, o_cf, o_first, o_last = [], [], [], [], []
-    o_gaps, o_tfs, o_dls = [], [], []
-    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
-        o_term.append(terms[s])
-        o_df.append(int(df_arr[s:e].sum()))
-        o_cf.append(int(cf_arr[s:e].sum()))
-        o_first.append(int(first_arr[s]))
-        o_last.append(int(last_arr[e - 1]))
-        disjoint = bool(np.all(first_arr[s + 1 : e] > last_arr[s : e - 1]))
-        if disjoint:
-            # fast path: shards are disjoint doc-id intervals (range
-            # salting / aligned segments) -> ordered concat, rewriting
-            # only each non-initial shard's first varint to a delta
-            gaps_parts, tfs_parts, dls_parts = [], [], []
-            prev_last = None
-            for i in range(s, e):
-                g = gaps_col[i].as_py()
-                if prev_last is None:
-                    gaps_parts.append(g)
-                else:
-                    first_doc = int(first_arr[i])
-                    skip = _varint_len_of_first(memoryview(g))
-                    gaps_parts.append(
-                        encode_varint(np.array([first_doc - prev_last])) + g[skip:]
-                    )
-                prev_last = int(last_arr[i])
-                tfs_parts.append(tfs_col[i].as_py())
-                dls_parts.append(dls_col[i].as_py())
-            o_gaps.append(b"".join(gaps_parts))
-            o_tfs.append(b"".join(tfs_parts))
-            o_dls.append(b"".join(dls_parts))
-        else:
-            # slow path: interleaved intervals (e.g. strided doc-id
-            # layouts) -> decode, merge-sort, re-encode. Doc SETS must
-            # still be disjoint; a duplicate doc id means a build bug.
-            ids_l, tfs_l, dls_l = [], [], []
-            for i in range(s, e):
-                ids_i = np.cumsum(decode_varint(gaps_col[i].as_py()), dtype=np.uint64)
-                ids_l.append(ids_i)
-                tfs_l.append(decode_varint(tfs_col[i].as_py()))
-                dls_l.append(decode_varint(dls_col[i].as_py()))
-            ids = np.concatenate(ids_l)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            if len(ids) > 1 and not np.all(np.diff(ids.astype(np.int64)) > 0):
-                raise ValueError(
-                    f"duplicate doc ids across shards for term {terms[s]!r}"
-                )
-            gaps = np.empty_like(ids)
-            gaps[0] = ids[0]
-            np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-            o_gaps.append(encode_varint(gaps))
-            o_tfs.append(encode_varint(np.concatenate(tfs_l)[order]))
-            o_dls.append(encode_varint(np.concatenate(dls_l)[order]))
+    vstarts = np.flatnonzero(
+        np.concatenate(([True], tgrp[1:] != tgrp[:-1]))
+    )
+    vends = np.concatenate([vstarts[1:], [len(ids)]])
+    # strictly-increasing within every term run (disjoint doc sets)
+    d = np.diff(ids)
+    d_ok = np.ones(len(ids), dtype=bool)
+    d_ok[1:] = d > 0
+    d_ok[vstarts] = True
+    if not d_ok.all():
+        bad = tgrp[np.flatnonzero(~d_ok)[0]]
+        raise ValueError(
+            f"duplicate doc ids across shards for term "
+            f"{terms[multi_starts[bad]]!r}"
+        )
+
+    gaps = ids.astype(np.uint64).copy()
+    gaps[1:] -= ids[:-1].astype(np.uint64)
+    gaps[vstarts] = ids[vstarts].astype(np.uint64)
+
+    gaps_buf, gaps_nb = encode_varint_with_lengths(gaps)
+    tfs_buf, tfs_nb = encode_varint_with_lengths(tfs.astype(np.uint64))
+    dls_buf, dls_nb = encode_varint_with_lengths(dls.astype(np.uint64))
+
+    def offsets_for(nb: np.ndarray) -> np.ndarray:
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        return np.concatenate((cum[vstarts], [cum[-1]]))
+
     multi_tbl = pa.table(
         {
-            "term": pa.array(o_term, type=pa.string()),
-            "df": pa.array(o_df, type=pa.int64()),
-            "cf": pa.array(o_cf, type=pa.int64()),
-            "first_doc": pa.array(o_first, type=pa.int64()),
-            "last_doc": pa.array(o_last, type=pa.int64()),
-            "gaps": pa.array(o_gaps, type=pa.large_binary()),
-            "tfs": pa.array(o_tfs, type=pa.large_binary()),
-            "dls": pa.array(o_dls, type=pa.large_binary()),
+            "term": pa.array(terms[multi_starts], type=pa.string()),
+            "df": pa.array((vends - vstarts).astype(np.int64)),
+            "cf": pa.array(np.add.reduceat(tfs, vstarts).astype(np.int64)),
+            "first_doc": pa.array(ids[vstarts]),
+            "last_doc": pa.array(ids[vends - 1]),
+            "gaps": _binary_from_offsets(gaps_buf, offsets_for(gaps_nb)),
+            "tfs": _binary_from_offsets(tfs_buf, offsets_for(tfs_nb)),
+            "dls": _binary_from_offsets(dls_buf, offsets_for(dls_nb)),
         }
     )
     return pa.concat_tables(
