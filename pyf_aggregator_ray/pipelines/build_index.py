@@ -49,7 +49,7 @@ from ..stages.postings import (
     encode_partition,
     merge_partition,
 )
-from ..stages.tokenize import TokenizeStage, doc_meta_batch
+from ..stages.tokenize import TokenizeAndMetaStage, TokenizeStage, doc_meta_batch
 from ..state import manifest as mf
 
 
@@ -73,7 +73,11 @@ def _stats_excerpt(ds: ray.data.Dataset, max_lines: int = 60) -> list[str]:
         return []
 
 
-def _tokens_ds(corpus: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+def _tokens_ds(
+    corpus: ray.data.Dataset,
+    cfg: EngineConfig,
+    docs_dir: str | None = None,
+) -> ray.data.Dataset:
     concurrency = cfg.tokenize_concurrency
     if concurrency is None:
         # autoscaling actor pool sized to the cluster, capped BELOW the
@@ -82,9 +86,15 @@ def _tokens_ds(corpus: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
         # disproportionately slow low-CPU run in bench --scaling)
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (2, max(2, cpus - 2))
+    if docs_dir is not None:
+        # single-pass build: the tokenize stage side-writes per-batch
+        # doc-meta parquet — one corpus read instead of two
+        cls, args = TokenizeAndMetaStage, (cfg, docs_dir)
+    else:
+        cls, args = TokenizeStage, (cfg,)
     return corpus.map_batches(
-        TokenizeStage,
-        fn_constructor_args=(cfg,),
+        cls,
+        fn_constructor_args=args,
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
         concurrency=concurrency,
@@ -208,21 +218,38 @@ def build_index(
                 schema.empty_table(), os.path.join(path, "part-empty.parquet")
             )
 
-    # ---- pass 1: doc metadata (incl. per-row sha256 invariant) ----
-    t = time.perf_counter()
-    docs_pipeline = corpus_ds().map_batches(doc_meta_batch, batch_format="pyarrow")
-    docs_pipeline.write_parquet(os.path.join(vdir, "docs"))
     from ..stages.tokenize import DOCS_SCHEMA
 
-    _ensure_parquet_dir(os.path.join(vdir, "docs"), DOCS_SCHEMA)
-    metrics["docs_pass_sec"] = time.perf_counter() - t
-    metrics["docs_pass_stats"] = _stats_excerpt(docs_pipeline)
+    def _docs_stats() -> tuple[int, float]:
+        docs_meta = ray.data.read_parquet(
+            os.path.join(vdir, "docs"), columns=["dl"]
+        )
+        agg = docs_meta.aggregate(
+            Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+        )
+        n = int(agg["n"])
+        return n, (int(agg["sum_dl"] or 0) / n) if n else 0.0
 
-    docs_meta = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"])
-    agg = docs_meta.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sum_dl"))
-    n_docs = int(agg["n"])
-    sum_dl = int(agg["sum_dl"] or 0)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    single_pass = not resumable and strategy == "segment"
+    if single_pass:
+        # doc metadata (incl. per-row sha256 invariant) is side-written
+        # by the tokenize stage during the ONE corpus pass below — the
+        # second full corpus read+tokenize of the two-pass layout is the
+        # single largest avoidable cost at the 10^12-file design point
+        os.makedirs(os.path.join(vdir, "docs"), exist_ok=True)
+        metrics["docs_pass_sec"] = 0.0
+        n_docs, avgdl = 0, 0.0  # computed from the written docs below
+    else:
+        # ---- pass 1: doc metadata ----
+        t = time.perf_counter()
+        docs_pipeline = corpus_ds().map_batches(
+            doc_meta_batch, batch_format="pyarrow"
+        )
+        docs_pipeline.write_parquet(os.path.join(vdir, "docs"))
+        _ensure_parquet_dir(os.path.join(vdir, "docs"), DOCS_SCHEMA)
+        metrics["docs_pass_sec"] = time.perf_counter() - t
+        metrics["docs_pass_stats"] = _stats_excerpt(docs_pipeline)
+        n_docs, avgdl = _docs_stats()
 
     # ---- pass 2: tokens -> salted encode -> merge -> postings ----
     if num_parts is None:
@@ -243,7 +270,7 @@ def build_index(
         # The all-to-all now moves COMPRESSED shard rows, not raw tokens —
         # the same partial+final shape as the reference's batched imports
         # (indexer.py:49-62) and of segment-based distributed indexing.
-        tokens = _tokens_ds(corpus_ds(), cfg)
+        tokens = _tokens_ds(corpus_ds(), cfg, docs_dir=os.path.join(vdir, "docs"))
 
         def salt_batch(t_: pa.Table) -> pa.Table:
             salt = (
@@ -293,6 +320,11 @@ def build_index(
     _ensure_parquet_dir(os.path.join(vdir, "postings"), merged_schema())
     metrics["index_pass_sec"] = time.perf_counter() - t
     metrics["index_pass_stats"] = _stats_excerpt(final)
+    if single_pass:
+        # the side-written doc-meta files exist now (the postings write
+        # executed the pipeline); finalize the artifact + corpus stats
+        _ensure_parquet_dir(os.path.join(vdir, "docs"), DOCS_SCHEMA)
+        n_docs, avgdl = _docs_stats()
 
     # ---- stats + verification + manifest + atomic alias cutover ----
     pread = ray.data.read_parquet(
