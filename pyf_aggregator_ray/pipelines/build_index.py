@@ -11,12 +11,13 @@ Lifecycle mirror of the reference flagship ``pyfa pypi -f``
   versioned collection + alias (K6)          v{N} dir + atomic ALIAS swap
   run statistics (A4)                        per-stage metrics in manifest.json
 
-Two executions per build:
-  1. doc-meta pass: corpus -> (doc_id, repo, path, commit, lang, dl, sha256)
-     -> docs/ parquet; N + avgdl aggregated from the written artifact.
-  2. index pass: corpus -> tokens -> salt -> encode partitions (the big
-     shuffle) -> merge shards (small shuffle of compressed rows) ->
-     sort(term) -> postings/ parquet.
+Default (segment strategy): ONE corpus pass — corpus -> tokens (the
+tokenize stage side-writes per-batch doc-meta parquet: doc_id, repo,
+path, commit, lang, dl, sha256) -> salt -> encode partitions -> merge
+shards (small shuffle of compressed rows) -> sort(term) -> postings/
+parquet; N + avgdl aggregated from the written docs/ artifact.
+Resumable and term_shuffle strategies run a separate doc-meta pass
+first (two corpus reads).
 
 Resumable mode (``resumable=True``) splits the corpus into doc-id-range
 partitions, builds per-partition partial postings under ``partials/``

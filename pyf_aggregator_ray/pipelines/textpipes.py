@@ -773,6 +773,136 @@ ORDER BY query_vec_id, rank
 
 
 # ---------------------------------------------------------------------------
+# trained IVF (k-means codebook recomputed independently by a DuckDB
+# recursive CTE — the oracle carries the TRAINING, not just the probe)
+# ---------------------------------------------------------------------------
+
+IVF_TRAIN_SAMPLE_N = 256   # fixed vec_id predicate -> same sample at every sf
+IVF_TRAIN_ITERS = 4
+IVF_TRAIN_NPROBE = 3
+# literal init vectors (seeded choice over [0, 256), embedded both sides)
+IVF_TRAIN_INIT_IDS = [9, 41, 77, 106, 139, 173, 202, 251]
+
+
+def ann_topk_ivf_trained(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.ivf_trained_topk(
+        emb,
+        ANN_QUERY_IDS,
+        DEFAULT.ann_default_k,
+        IVF_TRAIN_INIT_IDS,
+        sample_n=IVF_TRAIN_SAMPLE_N,
+        iters=IVF_TRAIN_ITERS,
+        nprobe=IVF_TRAIN_NPROBE,
+    )
+
+
+def ann_topk_ivf_trained_sql() -> str:
+    """Recursive-CTE spherical k-means (round6-quantized at every
+    comparison/update boundary, exactly like the engine's
+    train_ivf_centroids_r6) followed by the standard IVF probe. The
+    working table of iteration N holds (it, cid, j, w); assignment uses
+    round(dot, 6) with cid tiebreak; updates are raw-mean -> normalize ->
+    round6; empty clusters keep their previous centroid via the LEFT
+    JOIN coalesce."""
+    k = DEFAULT.ann_default_k
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    init_rows = ",\n    ".join(
+        f"({cid}, {src})" for cid, src in enumerate(IVF_TRAIN_INIT_IDS)
+    )
+    return f"""
+WITH RECURSIVE
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+samp AS (SELECT * FROM comp WHERE vec_id < {IVF_TRAIN_SAMPLE_N}),
+init(cid, src) AS (VALUES
+    {init_rows}
+),
+init_nrm AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM samp GROUP BY 1
+),
+km(it, cid, j, w) AS (
+  SELECT 0::BIGINT, i.cid::BIGINT, s.j, round(s.x / n.nrm, 6)
+  FROM init i
+  JOIN samp s ON s.vec_id = i.src
+  JOIN init_nrm n ON n.vec_id = i.src
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM km),
+    it_now AS (SELECT max(it) AS it FROM cur),
+    dots AS (
+      SELECT s.vec_id, c.cid, round(sum(s.x * c.w), 6) AS dot
+      FROM samp s JOIN cur c ON c.j = s.j
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dot DESC, cid ASC
+               ) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    means AS (
+      SELECT a.cid, s.j, avg(s.x) AS m
+      FROM assign a JOIN samp s ON s.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    nrm AS (SELECT cid, sqrt(sum(m * m)) AS n FROM means GROUP BY 1),
+    stepped AS (
+      SELECT means.cid, means.j, round(means.m / nrm.n, 6) AS w
+      FROM means JOIN nrm ON nrm.cid = means.cid
+    )
+    SELECT it_now.it + 1, cur.cid, cur.j, coalesce(st.w, cur.w)
+    FROM cur
+    CROSS JOIN it_now
+    LEFT JOIN stepped st ON st.cid = cur.cid AND st.j = cur.j
+    WHERE it_now.it < {IVF_TRAIN_ITERS}
+  )
+),
+cent AS (SELECT cid, j, w FROM km WHERE it = {IVF_TRAIN_ITERS}),
+all_dots AS (
+  SELECT c.vec_id, ct.cid, round(sum(c.x * ct.w), 6) AS dot
+  FROM comp c JOIN cent ct ON ct.j = c.j
+  GROUP BY 1, 2
+),
+ranked_dots AS (
+  SELECT vec_id, cid, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+  FROM all_dots
+),
+assign_all AS (SELECT vec_id, cid AS cluster FROM ranked_dots WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS qid, cid AS cluster
+  FROM ranked_dots WHERE vec_id IN ({ids}) AND rn <= {IVF_TRAIN_NPROBE}
+),
+cand AS (
+  SELECT pr.qid, a.vec_id FROM probe pr JOIN assign_all a ON a.cluster = pr.cluster
+),
+scored AS (
+  SELECT c.qid AS query_vec_id, c.vec_id,
+         {sql_round6('list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[])')} AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+final AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank::BIGINT AS rank, vec_id, cosine
+FROM final WHERE rank <= {k}
+ORDER BY query_vec_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # M11 screenshot detector (driver query — the last §2 operator family
 # without driver exposure in round 2)
 # ---------------------------------------------------------------------------
@@ -839,6 +969,9 @@ def register_all() -> None:
 
     r.register("screenshot_urls", screenshot_urls, SCREENSHOT_URLS_SQL)
     r.register("ann_topk_ivf", ann_topk_ivf, ann_topk_ivf_sql())
+    r.register(
+        "ann_topk_ivf_trained", ann_topk_ivf_trained, ann_topk_ivf_trained_sql()
+    )
     r.register("langid", langid, LANGID_SQL)
     r.register("token_count", token_count, TOKEN_COUNT_SQL)
     r.register("quality_score", quality, QUALITY_SQL)

@@ -347,6 +347,81 @@ def ivf_topk(
     return _bucketed_topk(with_cluster, "cluster", probe, q_ids, q_mat, k)
 
 
+def train_ivf_centroids_r6(
+    embeddings: ray.data.Dataset,
+    init_vec_ids: list[int],
+    sample_n: int = 256,
+    iters: int = 4,
+) -> np.ndarray:
+    """SQL-REPLICABLE trained codebook: the same spherical k-means as
+    :func:`train_ivf_centroids`, but with round6 quantization at every
+    comparison/update boundary (assignment dots and updated centroid
+    components), and literal init vectors instead of a seeded RNG. Float
+    summation-order noise (~1e-13) is far below the 1e-6 quantum, so an
+    independent SQL recursion (DuckDB recursive CTE, see
+    textpipes.ann_topk_ivf_trained_sql) computes the IDENTICAL codebook
+    — upgrading trained IVF from pytest-only to a full driver oracle."""
+    sample_ds = embeddings.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], pa.scalar(sample_n))),
+        batch_format="pyarrow",
+    )
+    tbls = [t for t in (ray.get(r) for r in sample_ds.to_arrow_refs()) if t.num_rows]
+    sample = pa.concat_tables(tbls).sort_by("vec_id")
+    m = _emb_matrix(sample)
+    ids = sample["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_of = {int(v): i for i, v in enumerate(ids)}
+    c = np.stack([m[pos_of[v]] for v in init_vec_ids])
+    c = round6(_normalize(c))
+    for _ in range(iters):
+        dots = round6(m @ c.T)
+        assign = np.argmax(dots, axis=1)  # ties -> lowest cid
+        for j in range(len(c)):
+            members = m[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    c[j] = round6(mean / norm)
+    return c
+
+
+def ivf_trained_topk(
+    embeddings: ray.data.Dataset,
+    query_vec_ids: list[int],
+    k: int,
+    init_vec_ids: list[int],
+    sample_n: int = 256,
+    iters: int = 4,
+    nprobe: int = 3,
+) -> pa.Table:
+    """IVF top-k over the k-means-TRAINED codebook, with round6-quantized
+    assignment and probe ordering (tie -> lowest cid) so the SQL oracle
+    replicates bit-for-bit."""
+    c = train_ivf_centroids_r6(embeddings, init_vec_ids, sample_n, iters)
+    cent_ref = ray.put(c)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        cc = ray.get(cent_ref)
+        m = _emb_matrix(t)
+        cluster = np.argmax(round6(m @ cc.T), axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(cluster, type=pa.int64()))
+
+    with_cluster = embeddings.map_batches(assign_batch, batch_format="pyarrow")
+    qtbl = _query_rows(with_cluster, query_vec_ids)
+    if qtbl is None:
+        return _OUT_SCHEMA.empty_table()
+    q_ids = qtbl["vec_id"].to_pylist()
+    q_mat = _normalize(_emb_matrix(qtbl))
+    q_raw = _emb_matrix(qtbl)
+    probe: dict[int, list[int]] = {}
+    for qi, qid in enumerate(q_ids):
+        dots = round6(q_raw[qi] @ c.T)
+        order = np.lexsort((np.arange(len(c)), -dots))[:nprobe]
+        for c_id in order:
+            probe.setdefault(int(c_id), []).append(qid)
+    return _bucketed_topk(with_cluster, "cluster", probe, q_ids, q_mat, k)
+
+
 NEAR_DUP_NUM_PLANES = 64
 NEAR_DUP_NUM_BANDS = 16  # 4 bits per band
 
