@@ -661,3 +661,168 @@ class TestSplitterBoundaryGoldens:
     def test_h1_title(self):
         html = "<h1>Big Title</h1><p>Content.</p>"
         assert split_description_html(html)["title"] == "Big Title"
+
+
+# ---------------------------------------------------------------------------
+# strip_html_links / strip_html_images + field-level stripping goldens
+# (reference tests/test_description_splitter.py:848-1080) and RST section-
+# wrapper handling (:218-270, :735-800)
+# ---------------------------------------------------------------------------
+
+from pyf_aggregator_ray.functions.transforms import (
+    strip_html_images,
+    strip_html_links,
+)
+
+
+class TestStripHelpers:
+    def test_strips_simple_image(self):
+        r = strip_html_images('<p>Text before <img src="image.png" alt="test"> text after</p>')
+        assert "<img" not in r
+        assert "Text before" in r and "text after" in r
+
+    def test_handles_multiple_images(self):
+        r = strip_html_images('<p><img src="a.png"> and <img src="b.png"></p>')
+        assert "<img" not in r and "and" in r
+
+    def test_image_empty_string(self):
+        assert strip_html_images("") == ""
+
+    def test_image_preserves_other_tags(self):
+        r = strip_html_images('<p><strong>Bold</strong> and <img src="x.png"></p>')
+        assert "<strong>Bold</strong>" in r and "<img" not in r
+
+    def test_image_with_attributes(self):
+        r = strip_html_images(
+            '<img src="test.jpg" alt="Test" width="100" height="50" class="badge">'
+        )
+        assert "<img" not in r and "test.jpg" not in r
+
+    def test_strips_simple_link(self):
+        assert strip_html_links('<a href="https://example.com">Click here</a>') == "Click here"
+
+    def test_link_in_paragraph(self):
+        r = strip_html_links('<p>Visit <a href="https://example.com">our website</a> for more.</p>')
+        assert "Visit our website for more." in r and "<a" not in r
+
+    def test_multiple_links(self):
+        r = strip_html_links('<p><a href="a">First</a> and <a href="b">Second</a></p>')
+        assert "First and Second" in r
+
+    def test_link_empty_string(self):
+        assert strip_html_links("") == ""
+
+    def test_link_preserves_other_tags(self):
+        r = strip_html_links('<p><strong>Bold</strong> and <a href="x">link</a></p>')
+        assert "<strong>Bold</strong>" in r and "link" in r and "<a" not in r
+
+    def test_nested_content_in_link(self):
+        r = strip_html_links('<a href="x"><strong>Bold link</strong></a>')
+        assert "<strong>Bold link</strong>" in r and "<a" not in r
+
+
+class TestFieldLevelStripping:
+    def test_first_chapter_images_stripped_main_preserved(self):
+        html = (
+            "<h2>Package Title</h2>"
+            '<p>Check out this <img src="badge.png" alt="badge"> badge.</p>'
+            "<h2>Installation</h2>"
+            '<p>Screenshot: <img src="screenshot.png" alt="screenshot"></p>'
+        )
+        r = split_description_html(html)
+        assert "<img" not in r["first_chapter"]
+        assert "badge.png" not in r["first_chapter"]
+        assert "Check out this" in r["first_chapter"]
+        assert "<img" in r["main_content"] and "screenshot.png" in r["main_content"]
+
+    def test_first_chapter_links_stripped_main_and_changelog_preserved(self):
+        html = (
+            "<h2>Package Title</h2>"
+            '<p>Check out <a href="https://example.com">this link</a> for more.</p>'
+            "<h2>Installation</h2>"
+            '<p>Install from <a href="https://pypi.org">PyPI</a>.</p>'
+            "<h2>Changelog</h2>"
+            '<p>See <a href="https://github.com">GitHub</a> for details.</p>'
+        )
+        r = split_description_html(html)
+        assert "<a" not in r["first_chapter"] and "this link" in r["first_chapter"]
+        assert 'href="https://pypi.org"' in r["main_content"]
+        assert 'href="https://github.com"' in r["changelog"]
+
+    def test_multiple_links_in_first_chapter_all_stripped(self):
+        html = (
+            "<h2>Package</h2>"
+            '<p><a href="a">One</a>, <a href="b">Two</a>, <a href="c">Three</a></p>'
+        )
+        r = split_description_html(html)
+        assert "<a" not in r["first_chapter"]
+        for w in ("One", "Two", "Three"):
+            assert w in r["first_chapter"]
+
+
+class TestRSTSectionWrappers:
+    RST = (
+        '<section id="imio-news-core"><h3>imio.news.core</h3>'
+        "<p>Core product for iMio news websites</p>"
+        '<section id="features"><h4>Features</h4>'
+        "<ul><li>Feature 1</li><li>Feature 2</li></ul></section>"
+        '<section id="installation"><h4>Installation</h4>'
+        "<p>Install with pip install imio.news.core</p></section></section>"
+    )
+    RST_CHANGELOG = (
+        '<section id="package-name"><h3>Package Name</h3>'
+        "<p>Package introduction.</p>"
+        '<section id="features"><h4>Features</h4><p>Feature list here.</p></section>'
+        '<section id="changelog"><h4>Changelog</h4>'
+        '<section id="version-1-0"><h5>1.0.0</h5><p>Initial release.</p></section>'
+        "</section></section>"
+    )
+
+    def test_title_from_sectioned_html(self):
+        assert split_description_html(self.RST)["title"] == "imio.news.core"
+
+    def test_first_chapter_and_wrappers(self):
+        r = split_description_html(self.RST)
+        assert "imio.news.core" in r["first_chapter"]
+        assert "Core product for iMio news websites" in r["first_chapter"]
+        assert "Feature 1" not in r["first_chapter"]
+        assert "<section" not in r["first_chapter"]
+
+    def test_main_content_from_second_heading(self):
+        r = split_description_html(self.RST)
+        assert "Features" in r["main_content"] and "Feature 1" in r["main_content"]
+        assert "Installation" in r["main_content"]
+        assert "<section" not in r["main_content"]
+        assert "Core product for iMio news websites" not in r["main_content"]
+
+    def test_changelog_inside_sections(self):
+        r = split_description_html(self.RST_CHANGELOG)
+        assert "1.0.0" in r["changelog"] and "Initial release" in r["changelog"]
+        assert "<section" not in r["changelog"]
+        assert "Feature list here." in r["main_content"]
+        assert "Initial release" not in r["main_content"]
+
+    def test_h6_changelog_detection(self):
+        html = (
+            "<h3>Package Title</h3><p>Introduction paragraph.</p>"
+            "<h3>Features</h3><p>Feature list.</p>"
+            "<h6>Changelog</h6><p>Version history here.</p>"
+        )
+        r = split_description_html(html)
+        assert "Version history here" in r["changelog"]
+        assert "Feature list" in r["main_content"]
+
+    def test_complex_html_structure(self):
+        html = (
+            "<h2>plone.api</h2><p>A simple API to access Plone functionality.</p>"
+            "<ul><li>Easy to use</li><li>Well documented</li></ul>"
+            "<h2>Installation</h2><p>Run: <code>pip install plone.api</code></p>"
+            "<h2>Usage</h2><pre><code>from plone import api</code></pre>"
+            "<h2>Changelog</h2><h3>2.0.0</h3><ul><li>Major release</li></ul>"
+            "<h3>1.0.0</h3><ul><li>Initial release</li></ul>"
+        )
+        r = split_description_html(html)
+        assert r["title"] == "plone.api"
+        assert "simple API" in r["first_chapter"]
+        assert "pip install" in r["main_content"]
+        assert "Major release" in r["changelog"]
