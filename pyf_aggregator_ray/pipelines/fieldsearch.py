@@ -208,6 +208,39 @@ def field_tf_rows(docs: ray.data.Dataset) -> ray.data.Dataset:
     return _field_docs(docs).map_batches(field_tf_batch, batch_format="pyarrow")
 
 
+class FieldTfAndMetaStage(FieldDocStage):
+    """Single-pass field-index build stage: runs the plugin chain ONCE per
+    batch, side-writes the per-doc weighted-length parquet (doc_id, dl)
+    and returns the weighted tf rows — the chain (render + split) is the
+    expensive part of the field build, so the two-pass layout would double
+    it. Same idempotent naming contract as ``TokenizeAndMetaStage``
+    (min-doc-id filename, temp outside the artifact dir, atomic rename).
+    """
+
+    def __init__(self, docs_dir: str) -> None:
+        super().__init__()
+        self.docs_dir = docs_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import pyarrow.parquet as pq
+
+        chained = super().__call__(batch)
+        if chained.num_rows:
+            meta = field_wdl_batch(chained)
+            min_id = int(
+                np.min(batch["doc_id"].to_numpy(zero_copy_only=False))
+            )
+            final = os.path.join(self.docs_dir, f"meta-{min_id:012d}.parquet")
+            tmp = os.path.join(
+                os.path.dirname(self.docs_dir),
+                f".fmeta-tmp-{os.getpid()}-{min_id}",
+            )
+            pq.write_table(meta, tmp)
+            os.replace(tmp, final)
+        return field_tf_batch(chained)
+
+
 # ---------------------------------------------------------------------------
 # field-index build (weights folded at build time, like a Typesense schema)
 # ---------------------------------------------------------------------------
@@ -223,9 +256,11 @@ def build_field_index(
 ) -> dict:
     """Build a per-field-weighted BM25F index version from
     ``{sf_dir}/documents.parquet`` (or an explicit (doc_id, text) corpus
-    Dataset). Same two-pass / salted-encode / streaming-merge / versioned
-    ALIAS shape as ``build_index``; the posting rows carry wtf/wdl, so
-    the standard ``IndexReader`` serves weighted queries unmodified."""
+    Dataset). Same single-pass / salted-encode / streaming-merge /
+    versioned-ALIAS shape as ``build_index`` (the chained stage
+    side-writes docs/ while emitting tf rows — the plugin chain runs
+    exactly once per document); the posting rows carry wtf/wdl, so the
+    standard ``IndexReader`` serves weighted queries unmodified."""
     from ..stages.postings import merged_schema
     from .build_index import _merge_stage
 
@@ -253,26 +288,28 @@ def build_field_index(
                 schema.empty_table(), os.path.join(path, "part-empty.parquet")
             )
 
-    # ---- pass 1: per-doc weighted length -> docs/ + corpus stats ----
+    # ---- single pass: the chained stage side-writes docs/ (doc_id, wdl)
+    # while emitting weighted tf rows -> salted segment encode -> merge;
+    # corpus stats aggregate from the written artifact afterwards ----
     from ray.data.aggregate import Count, Sum
 
-    _field_docs(corpus_ds()).map_batches(
-        field_wdl_batch, batch_format="pyarrow"
-    ).write_parquet(os.path.join(vdir, "docs"))
-    _ensure_parquet_dir(
-        os.path.join(vdir, "docs"),
-        pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())]),
-    )
-    agg = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"]).aggregate(
-        Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
-    )
-    n_docs = int(agg["n"])
-    avg_wdl = (int(agg["sum_dl"] or 0) / n_docs) if n_docs else 0.0
-
-    # ---- pass 2: weighted tf rows -> salted segment encode -> merge ----
     from ..stages.postings import encode_partition
 
-    tokens = field_tf_rows(corpus_ds())
+    docs_dir = os.path.join(vdir, "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    tokens = corpus_ds().map_batches(
+        FieldTfAndMetaStage,
+        fn_constructor_args=(docs_dir,),
+        batch_format="pyarrow",
+        # the chain (render + split + per-field tokenize) is the hot
+        # stage of the field build — autoscale below the CPU count so
+        # the encode/merge stages are not starved (same rule as the
+        # main build's tokenizer pool)
+        concurrency=(2, max(2, cpus - 2)),
+    )
 
     def salt_batch(t: pa.Table) -> pa.Table:
         salt = (
@@ -289,6 +326,17 @@ def build_field_index(
     final = _merge_stage(shards, merge_parts=max(4, num_parts // 4)).sort("term")
     final.write_parquet(os.path.join(vdir, "postings"))
     _ensure_parquet_dir(os.path.join(vdir, "postings"), merged_schema())
+
+    # the side-written doc-meta files exist now (the postings write
+    # executed the pipeline); finalize the artifact + corpus stats
+    _ensure_parquet_dir(
+        docs_dir, pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())])
+    )
+    agg = ray.data.read_parquet(docs_dir, columns=["dl"]).aggregate(
+        Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+    )
+    n_docs = int(agg["n"])
+    avg_wdl = (int(agg["sum_dl"] or 0) / n_docs) if n_docs else 0.0
 
     pagg = ray.data.read_parquet(
         os.path.join(vdir, "postings"), columns=["df", "cf"]
