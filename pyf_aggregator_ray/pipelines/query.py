@@ -114,38 +114,37 @@ class IndexReader:
                 )
         return {t: self._cache[t] for t in terms if self._cache[t][2] > 0}
 
-    def score(
+    def accumulate(
         self,
         query: str,
-        k: int | None = None,
         doc_weights: dict[int, float] | None = None,
-    ) -> list[tuple[int, int, float]]:
-        """Exhaustive vectorized BM25 -> [(rank, doc_id, score)].
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Every matching doc with its full BM25 score, unranked.
 
         Term-at-a-time accumulation in sorted-term order (deterministic
-        float summation). Tiebreak: score desc, doc_id asc. Accumulation
-        is dense (np.bincount over the doc-id space) when candidate
-        volume is large, sparse (sort-based) for rare terms — identical
-        per-document addition order either way.
+        float summation). Accumulation is dense (direct indexed add over
+        the doc-id space) when candidate volume is large, sparse
+        (sort-based) for rare terms — identical per-document addition
+        order either way. Returns (doc_ids sorted asc, scores); the
+        arrays may alias the per-term cache, so callers must not mutate
+        them in place.
         """
         cfg = self.cfg
         n = self.stats["num_docs"]
-        k = k if k is not None else cfg.default_k
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         terms = tokenize_query(query)
         found = self.lookup(terms)
         if not found or n == 0:
-            return []
+            return empty
         parts = [found[t] for t in sorted(found)]
         total_postings = sum(len(p[0]) for p in parts)
         max_id = max(int(p[0][-1]) for p in parts)  # posting lists are sorted
 
         if len(parts) == 1:
             # single-term fast path: the cached per-term contributions ARE
-            # the scores — no accumulation array at all. Copy only when a
-            # weight multiply would otherwise mutate the cache.
+            # the scores — no accumulation array at all (the weight
+            # multiply below allocates rather than mutating the cache).
             uniq, scores = parts[0][0], parts[0][1]
-            if doc_weights:
-                scores = scores.copy()
         elif total_postings * 4 >= max_id:
             # dense: one float per doc id, accumulated in sorted-term
             # order. Doc ids are UNIQUE within a posting list, so a
@@ -164,7 +163,36 @@ class IndexReader:
             np.add.at(scores, inv, contrib_cat)
         if doc_weights:
             w = np.array([doc_weights.get(int(d), 1.0) for d in uniq])
-            scores *= w
+            scores = scores * w
+        return uniq, scores
+
+    def score(
+        self,
+        query: str,
+        k: int | None = None,
+        doc_weights: dict[int, float] | None = None,
+        allowed_ids: np.ndarray | None = None,
+    ) -> list[tuple[int, int, float]]:
+        """Exhaustive vectorized BM25 -> [(rank, doc_id, score)].
+
+        Tiebreak: score desc, doc_id asc. ``allowed_ids`` (sorted int64)
+        restricts the candidate set BEFORE ranking — the ``filter_by``
+        semantics of the reference's search engine (equality filters
+        applied to matches, collection-global BM25 stats; reference
+        ``db.py:273-277``).
+        """
+        k = k if k is not None else self.cfg.default_k
+        uniq, scores = self.accumulate(query, doc_weights)
+        if allowed_ids is not None and len(uniq):
+            if len(allowed_ids) == 0:
+                return []
+            pos = np.searchsorted(allowed_ids, uniq)
+            ok = (pos < len(allowed_ids)) & (
+                allowed_ids[np.minimum(pos, len(allowed_ids) - 1)] == uniq
+            )
+            uniq, scores = uniq[ok], scores[ok]
+        if len(uniq) == 0:
+            return []
         if k < len(uniq):
             # select everything >= the k-th score (ties included), then
             # sort that small set with the doc_id tiebreak. Value

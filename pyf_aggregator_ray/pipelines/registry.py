@@ -817,3 +817,7 @@ _curation.register_all()
 from . import maintpipes as _maintpipes  # noqa: E402
 
 _maintpipes.register_all()
+
+from . import searchplus as _searchplus  # noqa: E402
+
+_searchplus.register_all()

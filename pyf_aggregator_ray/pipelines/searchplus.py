@@ -1,0 +1,408 @@
+"""filter_by / group_by search surfaces (Typesense search parameters).
+
+The reference drives its search engine with two parameters this engine
+did not yet serve:
+
+* ``filter_by`` — AND-composed equality predicates restricting matches,
+  e.g. ``registry:=pypi`` (``/root/reference/src/pyf/aggregator/db.py:
+  273-277``) or ``name:=pkg && registry:=npm`` (``db.py:316-318``,
+  ``enrichers/github.py:169``). Filters apply to the candidate set
+  BEFORE ranking; BM25 statistics stay collection-global.
+* ``group_by`` — grouped search collapsing hits to one representative
+  per group: ``db.py:253-273`` walks unique package names via
+  ``group_by: name``; the enrichers use ``group_by: name_sortable`` with
+  one hit per group for newest-per-package
+  (``enrichers/downloads.py:56``, ``health_calculator.py:47``). Each
+  group is represented by its best-scoring document; groups rank by that
+  document's score (tiebreak doc_id asc), top-k groups returned.
+
+Both are served from index artifacts only (postings + the docs/ doc-meta
+parquet written by the build) through actor-pool scorer stages — no
+corpus access on the query path.
+
+Scale notes (100 TB): the allowed-id set for one filter conjunction is a
+column-pruned predicate scan of the ``docs/`` artifact, cached per actor
+per filter string — at 10^12-doc scale this becomes a per-value facet
+posting artifact (same layout as the term postings), which slots into
+``FilteredScorerStage._allowed_ids`` without touching the scoring path.
+The group mapping is a doc-id-sorted dictionary-encoded column cached
+once per actor; sharding the scorer pool by doc-id range bounds its
+per-actor footprint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray
+import ray.data
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.rounding import round6, sql_round6
+from ..sources.corpus import CORPUS_SQL
+from . import query as q
+
+# ---------------------------------------------------------------------------
+# filter_by
+# ---------------------------------------------------------------------------
+
+# (query_id, query, k, lang-filter | None, repo-filter | None) — covers a
+# single-field filter, a hot term + filter, a repo filter, an AND
+# conjunction, a filter value matching nothing, and k > match count.
+FILTERED_QUERIES: list[tuple[int, str, int, str | None, str | None]] = [
+    (0, "merge sort", 10, "en", None),
+    (1, "the", 10, "fr", None),  # hot term, filter prunes most hits
+    (2, "customer value", 10, None, "org/src3"),
+    (3, "query", 5, "en", "org/src1"),  # AND conjunction
+    (4, "spark", 10, "xx", None),  # filter value matches no docs
+    (5, "vector window agg", 100, "de", None),  # k above match count
+]
+
+
+def _filter_by_string(lang: str | None, repo: str | None) -> str:
+    clauses = []
+    if lang is not None:
+        clauses.append(f"lang:={lang}")
+    if repo is not None:
+        clauses.append(f"repo:={repo}")
+    return " && ".join(clauses)
+
+
+class FilteredScorerStage:
+    """Actor-pool stage: (query_id, query, k, filter_by) -> top-k rows.
+
+    Index + doc-meta handles load once per actor; the allowed-id array
+    for each distinct ``filter_by`` string is materialized on first use
+    via a column-pruned predicate scan of the docs/ artifact and cached
+    (reference pattern: memoized per-process caches,
+    ``enrichers/github.py:126-137``).
+    """
+
+    def __init__(self, index_path: str, cfg: EngineConfig | None = None):
+        self.reader = q.IndexReader(index_path, cfg)
+        self._docs = pads.dataset(os.path.join(self.reader.vdir, "docs"))
+        self._allowed: dict[str, np.ndarray] = {}
+
+    def _allowed_ids(self, filter_by: str) -> np.ndarray:
+        cached = self._allowed.get(filter_by)
+        if cached is None:
+            expr = None
+            for clause in filter_by.split(" && "):
+                field, _, value = clause.partition(":=")
+                e = pads.field(field.strip()) == value.strip()
+                expr = e if expr is None else (expr & e)
+            tbl = self._docs.to_table(columns=["doc_id"], filter=expr)
+            ids = np.sort(
+                tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            cached = self._allowed[filter_by] = ids
+        return cached
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, query, k, filt in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+            batch["filter_by"].to_pylist(),
+        ):
+            allowed = self._allowed_ids(filt) if filt else None
+            for rank, doc_id, score in self.reader.score(
+                query, k, allowed_ids=allowed
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(round6(np.array(scores, dtype=np.float64))),
+            }
+        )
+
+
+def filtered_search(sf_dir: str) -> pa.Table:
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([f[0] for f in FILTERED_QUERIES], pa.int64()),
+                "query": pa.array([f[1] for f in FILTERED_QUERIES], pa.string()),
+                "k": pa.array([f[2] for f in FILTERED_QUERIES], pa.int64()),
+                "filter_by": pa.array(
+                    [_filter_by_string(f[3], f[4]) for f in FILTERED_QUERIES],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        qds.map_batches(
+            FilteredScorerStage,
+            fn_constructor_args=(root,),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def filtered_search_sql(
+    queries: list[tuple[int, str, int, str | None, str | None]] | None = None,
+    cfg: EngineConfig | None = None,
+) -> str:
+    """Identical BM25 + equality-filter top-k in DuckDB. The filter joins
+    the derived corpus (the independent source of lang/repo) and applies
+    before ranking, mirroring the engine's allowed-id restriction."""
+    queries = queries or FILTERED_QUERIES
+    cfg = cfg or DEFAULT
+
+    def _lit(v: str | None) -> str:
+        return q._sql_quote(v) if v is not None else "CAST(NULL AS VARCHAR)"
+
+    values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(text)}, {k}, {_lit(lang)}, {_lit(repo)})"
+        for qid, text, k, lang, repo in queries
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k, f_lang, f_repo) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT query_id, k, f_lang, f_repo,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS term
+  FROM queries
+),
+scored AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN corpus c ON c.doc_id = tf.doc_id
+  WHERE (q.f_lang IS NULL OR c.lang = q.f_lang)
+    AND (q.f_repo IS NULL OR c.repo = q.f_repo)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, {sql_round6('score')} AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# group_by
+# ---------------------------------------------------------------------------
+
+GROUP_FIELD = "repo"
+# (query_id, query, k-groups) — multi-term, hot term (every group
+# matches), single-term fast path, absent term.
+GROUPED_QUERIES: list[tuple[int, str, int]] = [
+    (0, "merge sort", 5),
+    (1, "the", 10),
+    (2, "customer value", 5),
+    (3, "spark", 3),
+    (4, "nonexistentterm42", 5),
+]
+
+
+class GroupedScorerStage:
+    """Actor-pool stage: (query_id, query, k) -> top-k GROUP rows.
+
+    The doc-id -> group mapping loads once per actor from the docs/
+    artifact (dictionary-encoded, doc-id-sorted). Per query: full
+    accumulation, vectorized best-per-group collapse (lexsort by
+    (group, -score, doc_id), first row per group), then group ranking by
+    representative score.
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        group_field: str = GROUP_FIELD,
+        cfg: EngineConfig | None = None,
+    ):
+        self.reader = q.IndexReader(index_path, cfg)
+        tbl = pads.dataset(os.path.join(self.reader.vdir, "docs")).to_table(
+            columns=["doc_id", group_field]
+        )
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        enc = pc.dictionary_encode(tbl[group_field].combine_chunks())
+        self._codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[order]
+        self._names = enc.dictionary.to_pylist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, groups, docs, scores = [], [], [], [], []
+        for qid, query, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            uniq, sc = self.reader.accumulate(query)
+            if len(uniq) == 0:
+                continue
+            pos = np.searchsorted(self._ids, uniq)
+            gid = self._codes[pos]
+            # best doc per group: sort (group, score desc, doc_id asc),
+            # keep each group's first row
+            order = np.lexsort((uniq, -sc, gid))
+            g_sorted = gid[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = g_sorted[1:] != g_sorted[:-1]
+            sel = order[first]
+            # rank groups by their representative's (score desc, doc_id)
+            top = sel[np.lexsort((uniq[sel], -sc[sel]))][:k]
+            for rank, i in enumerate(top):
+                qids.append(qid)
+                ranks.append(rank + 1)
+                groups.append(self._names[gid[i]])
+                docs.append(int(uniq[i]))
+                scores.append(float(sc[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                GROUP_FIELD: pa.array(groups, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(round6(np.array(scores, dtype=np.float64))),
+            }
+        )
+
+
+def grouped_search(sf_dir: str) -> pa.Table:
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([g[0] for g in GROUPED_QUERIES], pa.int64()),
+                "query": pa.array([g[1] for g in GROUPED_QUERIES], pa.string()),
+                "k": pa.array([g[2] for g in GROUPED_QUERIES], pa.int64()),
+            }
+        )
+    )
+    out = (
+        qds.map_batches(
+            GroupedScorerStage,
+            fn_constructor_args=(root,),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_search_sql(
+    queries: list[tuple[int, str, int]] | None = None,
+    cfg: EngineConfig | None = None,
+) -> str:
+    queries = queries or GROUPED_QUERIES
+    cfg = cfg or DEFAULT
+    values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(text)}, {k})" for qid, text, k in queries
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT query_id, k,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS term
+  FROM queries
+),
+scored AS (
+  SELECT q.query_id, q.k, tf.doc_id, c.{GROUP_FIELD},
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN corpus c ON c.doc_id = tf.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT query_id, k, {GROUP_FIELD}, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id, {GROUP_FIELD}
+           ORDER BY score DESC, doc_id
+         ) AS rn
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, k, {GROUP_FIELD}, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM best WHERE rn = 1
+)
+SELECT query_id, rnk AS rank, {GROUP_FIELD}, doc_id, {sql_round6('score')} AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
+def register_all() -> None:
+    from . import registry as r
+
+    r.register("filtered_search", filtered_search, filtered_search_sql())
+    r.register("grouped_search", grouped_search, grouped_search_sql())

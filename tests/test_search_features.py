@@ -24,6 +24,8 @@ FEATURES = [
     "embedding_near_dup",
     "media_audio_features",
     "corpus_curation",
+    "filtered_search",
+    "grouped_search",
 ]
 
 
@@ -91,3 +93,79 @@ def test_symspell_expansion_complete(ray_session):
             t for t in vocab if any(_levenshtein(tok, t) <= d for tok in tokens)
         }
         assert got == want, (d, got ^ want)
+
+
+def test_filtered_search_is_filtered_subset(ray_session):
+    """filter_by semantics: every hit satisfies the filter, scores equal
+    the unfiltered scorer's score for that doc (collection-global BM25
+    stats), and ranking is the filtered restriction of the full ranking."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import os
+
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+    from pyf_aggregator_ray.pipelines.registry import ensure_index
+    from pyf_aggregator_ray.pipelines.searchplus import FilteredScorerStage
+    from pyf_aggregator_ray.state import manifest as mf
+
+    root = ensure_index(SF)
+    stage = FilteredScorerStage(root)
+    reader = IndexReader(root)
+    vdir = mf.read_alias(root)
+    docs = pads.dataset(os.path.join(vdir, "docs")).to_table(
+        columns=["doc_id", "lang"]
+    )
+    en_ids = set(
+        docs.filter(pads.field("lang") == "en")["doc_id"].to_pylist()
+    )
+
+    allowed = stage._allowed_ids("lang:=en")
+    assert set(allowed.tolist()) == en_ids
+    filtered = reader.score("merge sort", 10, allowed_ids=allowed)
+    full = {d: s for _, d, s in reader.score("merge sort", 10**9)}
+    expected = sorted(
+        ((d, s) for d, s in full.items() if d in en_ids),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(d, s) for _, d, s in filtered] == expected
+
+    # AND conjunction + empty-filter behavior
+    both = stage._allowed_ids("lang:=en && repo:=org/src1")
+    sub = docs.filter(
+        (pads.field("lang") == "en")
+    )["doc_id"].to_pylist()
+    assert set(both.tolist()) <= set(sub)
+    assert reader.score("merge sort", 10, allowed_ids=np.empty(0, np.int64)) == []
+
+
+def test_grouped_search_collapse(ray_session):
+    """group_by semantics: one hit per group, each group represented by
+    its best-scoring doc (tiebreak doc_id), groups ranked by that score."""
+    import pyarrow as pa
+
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+    from pyf_aggregator_ray.pipelines.registry import ensure_index
+    from pyf_aggregator_ray.pipelines.searchplus import GroupedScorerStage
+
+    root = ensure_index(SF)
+    stage = GroupedScorerStage(root)
+    reader = IndexReader(root)
+    batch = pa.table(
+        {"query_id": [0], "query": ["customer value"], "k": [1000]}
+    )
+    out = stage(batch).to_pandas()
+    assert out["repo"].is_unique
+    # brute-force collapse from the exhaustive scorer
+    id2g = dict(
+        zip(stage._ids.tolist(), [stage._names[c] for c in stage._codes])
+    )
+    full = reader.score("customer value", 10**9)
+    best: dict[str, tuple[int, float]] = {}
+    for _, d, s in sorted(full, key=lambda t: (-t[2], t[1])):
+        g = id2g[d]
+        if g not in best:
+            best[g] = (d, s)
+    want = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))
+    got = list(zip(out["repo"], zip(out["doc_id"], out["score"])))
+    assert [g for g, _ in got] == [g for g, _ in want]
+    assert [d for _, (d, _) in got] == [d for _, (d, _) in want]
