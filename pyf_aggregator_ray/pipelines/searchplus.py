@@ -401,8 +401,264 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# phrase search (positional artifact)
+# ---------------------------------------------------------------------------
+
+# (query_id, phrase, k) — adjacent pair, hot pair, 3-token phrase, pair
+# whose tokens co-occur but (mostly) not adjacently, absent phrase,
+# single-token degenerate case.
+PHRASE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "merge sort", 10),
+    (1, "of the", 10),
+    (2, "customer value analysis", 10),
+    (3, "data the", 10),
+    (4, "nonexistentterm42 sort", 5),
+    (5, "spark", 5),
+]
+
+_POS_SHIFT = 32  # (doc_id << 32 | pos) packing for the adjacency intersect
+
+
+def _phrase_tokens(query: str) -> list[str]:
+    """ORDERED tokens (duplicates kept) — phrase semantics need sequence,
+    unlike :func:`..functions.tokenizer.tokenize_query`'s distinct-sorted
+    bag used for scoring."""
+    import re
+
+    return re.findall("[a-z0-9]+", query.lower())
+
+
+def ensure_positions_artifact(sf_dir: str, vdir: str) -> str:
+    """Build (once per index version) the positional artifact: one row per
+    token occurrence, ``(term, doc_id, pos)``, term-sorted so query-time
+    reads are predicate-pushdown lookups on the phrase's terms only.
+
+    Positions are derived fully vectorized (token flatten + parent
+    offsets — no Python loop over rows). This is build-side work amortized
+    over every phrase query, same contract as the main postings build; at
+    10^12-doc scale the rows would flow through the identical salted
+    shuffle + delta-varint encode as the term postings (the artifact is
+    ~the corpus token count in rows).
+    """
+    path = os.path.join(vdir, "positions")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+
+    from ..functions.tokenizer import tokenize_column
+    from ..sources.corpus import read_corpus
+
+    def to_positions(t: pa.Table) -> pa.Table:
+        tokens = tokenize_column(t["content"])
+        flat = tokens.flatten()
+        parent = tokens.value_parent_indices().to_numpy(zero_copy_only=False)
+        offsets = np.asarray(tokens.offsets)[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "term": flat,
+                "doc_id": pa.array(doc_ids[parent], type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    read_corpus(sf_dir).select_columns(["doc_id", "content"]).map_batches(
+        to_positions, batch_format="pyarrow"
+    ).sort("term").write_parquet(path)
+    open(marker, "w").close()
+    return path
+
+
+class PhraseScorerStage:
+    """Actor-pool stage: (query_id, query, k) -> top-k rows for EXACT
+    phrase matches (tokens adjacent, in order — the quoted-phrase
+    semantics of the reference's search engine).
+
+    Match: candidate (doc, pos) sets per term come from pushdown reads of
+    the positional artifact (cached per actor per term); adjacency is one
+    vectorized sorted-set intersection over packed (doc_id << 32 | pos)
+    keys. Matching docs then rank by standard BM25 over the phrase's
+    terms (collection-global stats), reusing the allowed-id restriction.
+    """
+
+    def __init__(self, index_path: str, positions_path: str,
+                 cfg: EngineConfig | None = None):
+        self.reader = q.IndexReader(index_path, cfg)
+        self._pos = pads.dataset(positions_path)
+        self._keys: dict[str, np.ndarray] = {}
+
+    def _term_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
+        missing = [t for t in set(terms) if t not in self._keys]
+        if missing:
+            tbl = self._pos.to_table(
+                columns=["term", "doc_id", "pos"],
+                filter=pads.field("term").isin(missing),
+            )
+            doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            pos = tbl["pos"].to_numpy(zero_copy_only=False)
+            keys = (doc << _POS_SHIFT) | pos
+            terms_np = np.asarray(tbl["term"].to_pylist())
+            order = np.argsort(terms_np, kind="stable")
+            sorted_terms = terms_np[order]
+            for t in missing:
+                if len(sorted_terms):
+                    lo = np.searchsorted(sorted_terms, t, side="left")
+                    hi = np.searchsorted(sorted_terms, t, side="right")
+                    self._keys[t] = np.sort(keys[order[lo:hi]])
+                else:
+                    self._keys[t] = np.empty(0, dtype=np.int64)
+        return {t: self._keys[t] for t in terms}
+
+    def match_docs(self, phrase: str) -> np.ndarray:
+        toks = _phrase_tokens(phrase)
+        if not toks:
+            return np.empty(0, dtype=np.int64)
+        keys = self._term_keys(toks)
+        survivors = keys[toks[0]]
+        for i, t in enumerate(toks[1:], start=1):
+            if len(survivors) == 0:
+                break
+            survivors = np.intersect1d(
+                survivors, keys[t] - i, assume_unique=False
+            )
+        return np.unique(survivors >> _POS_SHIFT)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, query, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            allowed = self.match_docs(query)
+            for rank, doc_id, score in self.reader.score(
+                query, k, allowed_ids=allowed
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(round6(np.array(scores, dtype=np.float64))),
+            }
+        )
+
+
+def phrase_search(sf_dir: str) -> pa.Table:
+    from ..state import manifest as mf
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    pos_path = ensure_positions_artifact(sf_dir, vdir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([p[0] for p in PHRASE_QUERIES], pa.int64()),
+                "query": pa.array([p[1] for p in PHRASE_QUERIES], pa.string()),
+                "k": pa.array([p[2] for p in PHRASE_QUERIES], pa.int64()),
+            }
+        )
+    )
+    out = (
+        qds.map_batches(
+            PhraseScorerStage,
+            fn_constructor_args=(root, pos_path),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def phrase_search_sql(
+    queries: list[tuple[int, str, int]] | None = None,
+    cfg: EngineConfig | None = None,
+) -> str:
+    """Phrase adjacency in SQL: the space-joined token stream of a doc
+    contains the space-joined token stream of the query as a
+    space-delimited substring — exactly the in-order adjacency the
+    positional intersect computes. Scoring is BM25 over the phrase's
+    distinct terms restricted to phrase-matching docs."""
+    queries = queries or PHRASE_QUERIES
+    cfg = cfg or DEFAULT
+    values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(text)}, {k})" for qid, text, k in queries
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+stream AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(content), '[a-z0-9]+'), ' ') || ' ' AS s
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k) AS (VALUES
+    {values}
+),
+qphrase AS (
+  SELECT query_id, k,
+         array_to_string(regexp_extract_all(lower(query), '[a-z0-9]+'), ' ') AS phrase
+  FROM queries
+),
+qterms AS (
+  SELECT DISTINCT query_id, k,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS term
+  FROM queries
+),
+matches AS (
+  SELECT p.query_id, s.doc_id
+  FROM qphrase p JOIN stream s
+    ON p.phrase <> '' AND position(' ' || p.phrase || ' ' IN s.s) > 0
+),
+scored AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN matches m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, {sql_round6('score')} AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
     r.register("filtered_search", filtered_search, filtered_search_sql())
     r.register("grouped_search", grouped_search, grouped_search_sql())
+    r.register("phrase_search", phrase_search, phrase_search_sql())

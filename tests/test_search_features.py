@@ -26,6 +26,7 @@ FEATURES = [
     "corpus_curation",
     "filtered_search",
     "grouped_search",
+    "phrase_search",
 ]
 
 
@@ -136,6 +137,60 @@ def test_filtered_search_is_filtered_subset(ray_session):
     )["doc_id"].to_pylist()
     assert set(both.tolist()) <= set(sub)
     assert reader.score("merge sort", 10, allowed_ids=np.empty(0, np.int64)) == []
+
+
+def test_phrase_adjacency(ray_session):
+    """Positional-intersect semantics: match_docs returns EXACTLY the docs
+    whose token stream contains the phrase as a contiguous in-order
+    subsequence (brute-force check over the raw corpus), including the
+    cross-doc-boundary non-match and the single/absent-token edges."""
+    import pyarrow.parquet as pq
+    import re
+
+    from pyf_aggregator_ray.pipelines.registry import ensure_index
+    from pyf_aggregator_ray.pipelines.searchplus import (
+        PhraseScorerStage,
+        ensure_positions_artifact,
+        _phrase_tokens,
+    )
+    from pyf_aggregator_ray.sources.corpus import read_corpus
+    from pyf_aggregator_ray.state import manifest as mf
+
+    root = ensure_index(SF)
+    vdir = mf.read_alias(root)
+    pos_path = ensure_positions_artifact(SF, vdir)
+    stage = PhraseScorerStage(root, pos_path)
+
+    corpus = read_corpus(SF).select_columns(["doc_id", "content"]).to_pandas()
+    streams = {
+        int(r.doc_id): re.findall("[a-z0-9]+", str(r.content).lower())
+        for r in corpus.itertuples()
+    }
+
+    def brute(phrase: str) -> set[int]:
+        toks = _phrase_tokens(phrase)
+        if not toks:
+            return set()
+        return {
+            d
+            for d, ts in streams.items()
+            if any(
+                ts[i : i + len(toks)] == toks
+                for i in range(len(ts) - len(toks) + 1)
+            )
+        }
+
+    for phrase in (
+        "merge sort",
+        "of the",
+        "customer value analysis",
+        "data the",
+        "nonexistentterm42 sort",
+        "spark",
+        "",
+    ):
+        got = set(stage.match_docs(phrase).tolist())
+        assert got == brute(phrase), phrase
 
 
 def test_grouped_search_collapse(ray_session):
