@@ -821,3 +821,7 @@ _maintpipes.register_all()
 from . import searchplus as _searchplus  # noqa: E402
 
 _searchplus.register_all()
+
+from . import hybrid as _hybrid  # noqa: E402
+
+_hybrid.register_all()

@@ -27,6 +27,7 @@ FEATURES = [
     "filtered_search",
     "grouped_search",
     "phrase_search",
+    "hybrid_search",
 ]
 
 
@@ -224,3 +225,46 @@ def test_grouped_search_collapse(ray_session):
     got = list(zip(out["repo"], zip(out["doc_id"], out["score"])))
     assert [g for g, _ in got] == [g for g, _ in want]
     assert [d for _, (d, _) in got] == [d for _, (d, _) in want]
+
+
+def test_hybrid_rrf_semantics(ray_session):
+    """RRF invariants on the real result: per-row score is exactly the
+    two-list reciprocal-rank sum, the pure-vector query (absent text
+    term) reproduces the ANN ranking verbatim, and ordering is
+    round6(rrf) desc / doc_id asc with dense 1..n ranks."""
+    import numpy as np
+
+    from pyf_aggregator_ray.functions.rounding import round6
+    from pyf_aggregator_ray.pipelines.hybrid import (
+        HYBRID_QUERIES,
+        RRF_K,
+        hybrid_search,
+    )
+    from pyf_aggregator_ray.stages import ann as ann_stage
+    import ray as _ray
+    import ray.data as _rd
+
+    out = hybrid_search(SF).to_pandas()
+
+    # arithmetic: score == round6(sum of the present lists' 1/(K+r))
+    contrib = np.where(out.text_rank > 0, 1.0 / (RRF_K + out.text_rank), 0.0)
+    contrib = contrib + np.where(
+        out.vec_rank > 0, 1.0 / (RRF_K + out.vec_rank), 0.0
+    )
+    assert (out.score.to_numpy() == round6(contrib)).all()
+    assert ((out.text_rank > 0) | (out.vec_rank > 0)).all()
+
+    # ordering + dense ranks per query
+    for qid, g in out.groupby("query_id"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        key = list(zip(-g.score, g.doc_id))
+        assert key == sorted(key)
+
+    # the absent-term query is a pure vector ranking == ANN list
+    qid, _text, qvec, k = HYBRID_QUERIES[2]
+    emb = _rd.read_parquet(f"{SF}/embeddings.parquet")
+    ann = ann_stage.brute_force_topk(emb, [qvec], k).to_pandas()
+    got = out[out.query_id == qid]
+    assert (got.text_rank == 0).all()
+    assert got.doc_id.tolist() == ann.vec_id.tolist()
+    assert got.vec_rank.tolist() == ann["rank"].tolist()
