@@ -397,66 +397,192 @@ def is_meaningful_docs_url(url) -> bool:
     return True
 
 
-def _recency_score(upload_timestamp, now_ts: int) -> int:
-    """Reference buckets (``health_score.py:78-134``): <180d=40,
-    <365d=30, <730d=20, <1095d=10, <1825d=5, else 0; 0/missing ts = 0."""
-    if not upload_timestamp:
+def count_words(text) -> int:
+    """Whitespace word count (reference ``health_score.py:8-12``)."""
+    if not text:
         return 0
-    age_days = (now_ts - int(upload_timestamp)) // SECONDS_PER_DAY
-    if age_days < 180:
-        return 40
-    if age_days < 365:
-        return 30
-    if age_days < 730:
-        return 20
-    if age_days < 1095:
-        return 10
-    if age_days < 1825:
-        return 5
-    return 0
+    return len(str(text).split())
 
 
-def _docs_score(doc: dict) -> int:
+def _recency_with_problems(upload_timestamp, now_ts: int) -> tuple[int, list]:
+    """Reference buckets + problem strings (``health_score.py:78-134``):
+    <180d=40, <365d=30, <730d=20, <1095d=10, <1825d=5, else 0.
+
+    Timestamp handling replicates the reference exactly, quirks
+    included: int = unix seconds (0/falsy = missing), str = ISO-8601
+    with the ``Z`` suffix normalized (a NAIVE iso string raises on the
+    aware subtraction and therefore reports "no release timestamp" —
+    the reference's try wraps the whole computation), any other type
+    (floats included) is rejected, out-of-range ints surface as OSError
+    -> missing. ``now_ts`` is injected — no wall clock."""
+    from datetime import datetime, timezone
+
+    problems: list = []
+    if not upload_timestamp:
+        problems.append("no release timestamp")
+        return 0, problems
+    try:
+        if isinstance(upload_timestamp, int):
+            upload_dt = datetime.fromtimestamp(upload_timestamp, tz=timezone.utc)
+        elif isinstance(upload_timestamp, str):
+            upload_dt = datetime.fromisoformat(
+                upload_timestamp.replace("Z", "+00:00")
+            )
+        else:
+            problems.append("no release timestamp")
+            return 0, problems
+        now = datetime.fromtimestamp(now_ts, tz=timezone.utc)
+        age_days = (now - upload_dt).days
+        if age_days < 180:
+            return 40, problems
+        if age_days < 365:
+            problems.append("last release over 6 months ago")
+            return 30, problems
+        if age_days < 730:
+            problems.append("last release over 1 year ago")
+            return 20, problems
+        if age_days < 1095:
+            problems.append("last release over 2 years ago")
+            return 10, problems
+        if age_days < 1825:
+            problems.append("last release over 3 years ago")
+            return 5, problems
+        problems.append("last release over 5 years ago")
+        return 0, problems
+    except (ValueError, TypeError, AttributeError, OSError, OverflowError):
+        problems.append("no release timestamp")
+        return 0, problems
+
+
+def _recency_score(upload_timestamp, now_ts: int) -> int:
+    return _recency_with_problems(upload_timestamp, now_ts)[0]
+
+
+def _docs_with_problems(doc: dict) -> tuple[int, list, list]:
     """Reference ``health_score.py:180-252``: description >150 chars = 18
     base; bonuses: meaningful docs_url +4, documentation project URL +3,
-    meaningful screenshots +5. The reference scores the RENDERED html
-    (rst_to_html replaces ``description``); the rendered path here keeps
-    it in ``description_html``."""
+    meaningful screenshots +5; plus the 500-word README rule (words in
+    first_chapter + main_content, changelog excluded — under 500 with no
+    external docs link reports "not enough documentation"). Problem and
+    bonus strings are reference-verbatim, in reference order. The
+    reference scores the RENDERED html (rst_to_html replaces
+    ``description``); the rendered path here keeps it in
+    ``description_html``."""
     score = 0
-    if is_meaningful_docs_url(doc.get("docs_url")):
+    problems: list = []
+    bonuses: list = []
+    has_docs_url = is_meaningful_docs_url(doc.get("docs_url"))
+    if has_docs_url:
         score += 4
+        bonuses.append({"reason": "has dedicated docs URL", "points": 4})
     # score the RENDERED html when the renderer has produced it; fall back
     # to the raw description so a doc scored outside the full chain (no
     # renderer pass) keeps its docs points
     desc = doc.get("description_html") or doc.get("description") or ""
     if desc and len(desc) > 150:
         score += 18
+    else:
+        problems.append("description too short (<150 chars)")
+    has_doc_project_url = False
     project_urls = doc.get("project_urls") or {}
     if isinstance(project_urls, dict):
         for key, url in project_urls.items():
             if any(kw in str(key).lower() for kw in _DOC_URL_KEYWORDS):
                 if is_meaningful_docs_url(url):
+                    has_doc_project_url = True
                     score += 3
+                    bonuses.append(
+                        {"reason": "has documentation project URL", "points": 3}
+                    )
                     break
+    readme_words = count_words(doc.get("first_chapter", "")) + count_words(
+        doc.get("main_content", "")
+    )
+    if readme_words < 500 and not has_docs_url and not has_doc_project_url:
+        problems.append(
+            "not enough documentation (extend README to 500+ words"
+            " or add documentation link)"
+        )
     if desc and find_screenshots(desc):
         score += 5
-    return score
+        bonuses.append({"reason": "has meaningful screenshots", "points": 5})
+    return score, problems, bonuses
 
 
-def _metadata_score(doc: dict) -> int:
-    """Reference ``health_score.py:265-311``: maintainer-or-author 10,
-    license 10, >=3 classifiers (pypi) / keywords (npm) 10."""
+def _docs_score(doc: dict) -> int:
+    return _docs_with_problems(doc)[0]
+
+
+def _metadata_with_problems(doc: dict) -> tuple[int, list, list]:
+    """Reference ``health_score.py:265-311``: maintainer-or-author 10
+    (both missing reports BOTH problems), license 10, >=3 classifiers
+    (pypi) / keywords (npm) 10."""
     score = 0
+    problems: list = []
     if doc.get("maintainer") or doc.get("author"):
         score += 10
+    else:
+        problems.append("no maintainer info")
+        problems.append("no author info")
     if doc.get("license"):
         score += 10
+    else:
+        problems.append("no license")
     if (doc.get("registry") or "pypi") == "npm":
         if len(doc.get("keywords") or []) >= 3:
             score += 10
+        else:
+            problems.append("fewer than 3 keywords")
     elif len(doc.get("classifiers") or []) >= 3:
         score += 10
-    return score
+    else:
+        problems.append("fewer than 3 classifiers")
+    return score, problems, []
+
+
+def _metadata_score(doc: dict) -> int:
+    return _metadata_with_problems(doc)[0]
+
+
+MAX_RECENCY_POINTS = 40
+MAX_DOCS_POINTS = 18  # base points only; bonuses are extra credit
+MAX_METADATA_POINTS = 30
+
+
+def health_report(doc: dict, now_ts: int) -> dict:
+    """The reference plugin's FULL output shape (``health_score.py:
+    15-75``): total score plus a per-factor breakdown with points,
+    max_points, problems and bonuses (reference-verbatim strings).
+    ``health_score()`` remains the numeric-only fast path used by the
+    batch pipeline; this report form backs user-facing diagnostics."""
+    recency, r_problems = _recency_with_problems(
+        doc.get("upload_timestamp"), now_ts
+    )
+    docs_score, d_problems, d_bonuses = _docs_with_problems(doc)
+    meta, m_problems, m_bonuses = _metadata_with_problems(doc)
+    return {
+        "health_score": int(recency + docs_score + meta),
+        "health_score_breakdown": {
+            "recency": {
+                "points": recency,
+                "max_points": MAX_RECENCY_POINTS,
+                "problems": r_problems,
+                "bonuses": [],
+            },
+            "documentation": {
+                "points": docs_score,
+                "max_points": MAX_DOCS_POINTS,
+                "problems": d_problems,
+                "bonuses": d_bonuses,
+            },
+            "metadata": {
+                "points": meta,
+                "max_points": MAX_METADATA_POINTS,
+                "problems": m_problems,
+                "bonuses": m_bonuses,
+            },
+        },
+    }
 
 
 def _stars_bonus(stars: int) -> int:

@@ -1,0 +1,351 @@
+"""Health-score goldens ported from the reference suite
+(/root/reference/tests/test_health_score.py) against the breakdown
+report form: recency buckets + timestamp-parsing quirks, word counting,
+docs-url validation, docs score composition, the 500-word README rule,
+metadata problems, and the integration scenarios. ``now`` is a fixed
+injected timestamp (determinism contract) — the reference's wall-clock
+offsets become offsets from NOW_TS."""
+
+from datetime import datetime, timedelta, timezone
+
+import pyf_aggregator_ray.functions.transforms as tf
+
+NOW_TS = 1_755_000_000  # 2025-08-12T11:20:00Z
+NOW_DT = datetime.fromtimestamp(NOW_TS, tz=timezone.utc)
+
+DOC_PROBLEM = (
+    "not enough documentation (extend README to 500+ words"
+    " or add documentation link)"
+)
+
+
+def days_ago_iso(days: int) -> str:
+    return (NOW_DT - timedelta(days=days)).isoformat()
+
+
+def recency(ts):
+    return tf._recency_with_problems(ts, NOW_TS)
+
+
+class TestRecencyScore:
+    # reference test_health_score.py:189-308
+    def test_buckets_iso(self):
+        for days, score in [
+            (90, 40),
+            (1, 40),
+            (270, 30),
+            (540, 20),
+            (912, 10),
+            (1460, 5),
+            (2190, 0),
+        ]:
+            assert recency(days_ago_iso(days))[0] == score, days
+
+    def test_buckets_unix(self):
+        for days, score in [(90, 40), (270, 30), (2190, 0)]:
+            assert recency(NOW_TS - days * 86400)[0] == score, days
+
+    def test_boundaries(self):
+        # exactly 180 days -> the 6-12 month bucket; exactly 365 -> 1-2y
+        assert recency(days_ago_iso(180))[0] == 30
+        assert recency(days_ago_iso(365))[0] == 20
+
+    def test_missing_and_invalid(self):
+        for bad in (None, "", 0, "not-a-timestamp"):
+            score, problems = recency(bad)
+            assert score == 0, bad
+            assert problems == ["no release timestamp"], bad
+
+    def test_z_suffix(self):
+        ts = days_ago_iso(90).replace("+00:00", "Z")
+        assert recency(ts)[0] == 40
+
+    def test_float_rejected(self):
+        # reference quirk: only int and str accepted; floats fall to the
+        # "no release timestamp" branch (health_score.py:100-110)
+        assert recency(float(NOW_TS - 90 * 86400)) == (
+            0,
+            ["no release timestamp"],
+        )
+
+    def test_naive_iso_rejected(self):
+        # reference quirk: a NAIVE iso string raises on the aware
+        # subtraction inside the try -> reported as missing
+        naive = (NOW_DT - timedelta(days=90)).replace(tzinfo=None).isoformat()
+        assert recency(naive) == (0, ["no release timestamp"])
+
+    def test_problem_strings_per_bucket(self):
+        assert recency(days_ago_iso(90))[1] == []
+        assert recency(days_ago_iso(270))[1] == ["last release over 6 months ago"]
+        assert recency(days_ago_iso(540))[1] == ["last release over 1 year ago"]
+        assert recency(days_ago_iso(912))[1] == ["last release over 2 years ago"]
+        assert recency(days_ago_iso(1460))[1] == ["last release over 3 years ago"]
+        assert recency(days_ago_iso(2190))[1] == ["last release over 5 years ago"]
+
+
+class TestCountWords:
+    # reference test_health_score.py:312-345
+    def test_counts(self):
+        assert tf.count_words("one two three") == 3
+        assert tf.count_words("hello world") == 2
+        assert tf.count_words("single") == 1
+        assert tf.count_words("") == 0
+        assert tf.count_words(None) == 0
+        assert tf.count_words("one   two    three") == 3
+        assert tf.count_words("one\ntwo\tthree") == 3
+        assert tf.count_words("<p>This is a paragraph with eight words total.</p>") >= 8
+
+
+class TestMeaningfulDocsUrl:
+    # reference test_health_score.py:349-445
+    def test_rejects(self):
+        for url in (
+            "https://pypi.org/project/example/",
+            "https://github.com/user/repo",
+            "https://github.com/user/repo#readme",
+            "https://gitlab.com/user/repo",
+            "",
+            None,
+        ):
+            assert not tf.is_meaningful_docs_url(url), url
+
+    def test_accepts(self):
+        for url in (
+            "https://example.readthedocs.io/en/latest/",
+            "https://github.com/user/repo/wiki",
+            "https://github.com/user/repo/blob/main/docs/index.md",
+            "https://example.com/docs",
+        ):
+            assert tf.is_meaningful_docs_url(url), url
+
+
+def docs(doc):
+    return tf._docs_with_problems(doc)
+
+
+class TestDocsScore:
+    # reference test_health_score.py:457-598
+    def test_point_components(self):
+        assert docs({"docs_url": "https://docs.example.com"})[0] == 4
+        assert docs({"description": "A" * 151})[0] == 18
+        assert docs({"description": "A" * 150})[0] == 0
+        for key in ("Documentation", "Docs", "Homepage", "Home", "DOCUMENTATION"):
+            assert docs({"project_urls": {key: "https://docs.example.com"}})[0] == 3
+
+    def test_only_counts_project_urls_once(self):
+        d = {
+            "project_urls": {
+                "Documentation": "https://docs.example.com",
+                "Homepage": "https://example.com",
+                "Docs": "https://docs2.example.com",
+            }
+        }
+        assert docs(d)[0] == 3
+
+    def test_all_factors_is_30(self):
+        d = {
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 151
+            + '<img src="https://example.com/screenshot.png" width="400">',
+            "project_urls": {"Documentation": "https://docs.example.com"},
+        }
+        assert docs(d)[0] == 30  # 4 + 18 + 3 + 5
+
+    def test_without_screenshot_is_25(self):
+        d = {
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 151,
+            "project_urls": {"Documentation": "https://docs.example.com"},
+        }
+        assert docs(d)[0] == 25
+
+    def test_screenshot_only_is_5(self):
+        d = {
+            "description": '<img src="https://example.com/screenshot.png" width="400">'
+        }
+        assert docs(d)[0] == 5
+
+    def test_badges_dont_count(self):
+        d = {
+            "description": '<img src="https://img.shields.io/badge/test.svg" width="400">'
+        }
+        assert docs(d)[0] == 0
+
+    def test_empty_variants(self):
+        for d in (
+            {},
+            {"description": ""},
+            {"description": None},
+            {"project_urls": {}},
+            {"project_urls": None},
+            {
+                "project_urls": {
+                    "Source": "https://github.com/example/project",
+                    "Issues": "https://github.com/example/project/issues",
+                }
+            },
+        ):
+            assert docs(d)[0] == 0, d
+
+    def test_bonus_entries_tracked(self):
+        _, _, bonuses = docs({"docs_url": "https://docs.example.com"})
+        assert {"reason": "has dedicated docs URL", "points": 4} in bonuses
+        _, problems, bonuses = docs(
+            {"project_urls": {"Documentation": "https://docs.example.com"}}
+        )
+        assert {"reason": "has documentation project URL", "points": 3} in bonuses
+        assert "no docs_url" not in problems
+
+
+class TestDocumentationLinkRequirement:
+    # reference test_health_score.py:604-783 (the 500-word rule)
+    def test_long_readme_no_problem(self):
+        d = {
+            "main_content": "<p>" + " ".join(["word"] * 600) + "</p>",
+            "description": "A" * 151,
+        }
+        assert DOC_PROBLEM not in docs(d)[1]
+
+    def test_short_readme_with_docs_url_no_problem(self):
+        d = {
+            "main_content": "<p>Short content</p>",
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 151,
+        }
+        assert DOC_PROBLEM not in docs(d)[1]
+
+    def test_short_readme_with_doc_links_no_problem(self):
+        d = {
+            "main_content": "<p>Short content</p>",
+            "project_urls": {"Documentation": "https://docs.example.com"},
+            "description": "A" * 151,
+        }
+        assert DOC_PROBLEM not in docs(d)[1]
+
+    def test_short_readme_no_external_docs_reports_problem(self):
+        d = {"main_content": "<p>Short content</p>", "description": "A" * 151}
+        assert DOC_PROBLEM in docs(d)[1]
+
+    def test_empty_readme_reports_problem(self):
+        d = {"main_content": "", "description": "A" * 151}
+        assert DOC_PROBLEM in docs(d)[1]
+
+    def test_500_word_boundary(self):
+        base = {"description": "A" * 151}
+        at = dict(base, main_content="<p>" + " ".join(["word"] * 500) + "</p>")
+        under = dict(base, main_content="<p>" + " ".join(["word"] * 499) + "</p>")
+        assert DOC_PROBLEM not in docs(at)[1]
+        assert DOC_PROBLEM in docs(under)[1]
+
+    def test_first_chapter_and_main_content_combined(self):
+        half = "<p>" + " ".join(["word"] * 250) + "</p>"
+        d = {"first_chapter": half, "main_content": half, "description": "A" * 151}
+        assert DOC_PROBLEM not in docs(d)[1]
+
+    def test_word_count_excludes_changelog(self):
+        d = {
+            "main_content": "<p>" + " ".join(["word"] * 200) + "</p>",
+            "changelog": "<p>" + " ".join(["changelog_word"] * 1000) + "</p>",
+            "description": "A" * 151,
+        }
+        assert DOC_PROBLEM in docs(d)[1]
+
+
+def meta(doc):
+    return tf._metadata_with_problems(doc)
+
+
+class TestMetadataScore:
+    # reference test_health_score.py:787-880
+    def test_point_components(self):
+        assert meta({"maintainer": "John Doe"})[0] == 10
+        assert meta({"author": "Jane Doe"})[0] == 10
+        assert meta({"maintainer": "John", "author": "Jane"})[0] == 10
+        assert meta({"license": "MIT"})[0] == 10
+        assert meta({"classifiers": ["A", "B", "C"]})[0] == 10
+        assert meta({"classifiers": ["A", "B", "C", "D"]})[0] == 10
+        assert meta({"classifiers": ["A", "B"]})[0] == 0
+        assert meta({"classifiers": []})[0] == 0
+        assert meta({"classifiers": None})[0] == 0
+
+    def test_all_factors_is_30(self):
+        d = {
+            "maintainer": "Team",
+            "license": "MIT",
+            "classifiers": ["A", "B", "C"],
+        }
+        assert meta(d)[0] == 30
+
+    def test_empty_values_score_zero(self):
+        for d in ({}, {"maintainer": ""}, {"author": ""}, {"license": ""}):
+            assert meta(d)[0] == 0, d
+
+    def test_both_missing_reports_both_problems(self):
+        _, problems, _ = meta({})
+        assert "no maintainer info" in problems
+        assert "no author info" in problems
+        assert "no license" in problems
+        assert "fewer than 3 classifiers" in problems
+
+    def test_npm_counts_keywords(self):
+        assert meta({"registry": "npm", "keywords": ["a", "b", "c"]})[0] == 10
+        _, problems, _ = meta({"registry": "npm", "keywords": ["a"]})
+        assert "fewer than 3 keywords" in problems
+
+
+class TestIntegrationScenarios:
+    # reference test_health_score.py:911-965
+    def test_perfect_score(self):
+        d = {
+            "upload_timestamp": NOW_TS,
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 200
+            + '<img src="https://example.com/screenshot.png" width="400">',
+            "project_urls": {"Documentation": "https://docs.example.com"},
+            "maintainer": "Team",
+            "license": "MIT",
+            "classifiers": ["A", "B", "C", "D"],
+        }
+        assert tf.health_report(d, NOW_TS)["health_score"] == 100
+
+    def test_zero_score(self):
+        assert tf.health_report({"name": "empty-package"}, NOW_TS)["health_score"] == 0
+
+    def test_medium_score(self):
+        d = {
+            "upload_timestamp": days_ago_iso(2000),
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 151
+            + '<img src="https://example.com/screenshot.png" width="400">',
+            "project_urls": {"Documentation": "https://docs.example.com"},
+            "maintainer": "Team",
+            "license": "MIT",
+            "classifiers": ["A", "B", "C"],
+        }
+        # 0 recency + 30 docs + 30 metadata
+        assert tf.health_report(d, NOW_TS)["health_score"] == 60
+
+    def test_recent_but_poor_metadata(self):
+        d = {"upload_timestamp": NOW_TS, "description": "Short"}
+        assert tf.health_report(d, NOW_TS)["health_score"] == 40
+
+    def test_breakdown_structure(self):
+        # reference :118-151 — factors, max_points, and sum-to-total
+        rep = tf.health_report({"maintainer": "Team"}, NOW_TS)
+        bd = rep["health_score_breakdown"]
+        assert set(bd) == {"recency", "documentation", "metadata"}
+        for factor in bd.values():
+            assert set(factor) == {"points", "max_points", "problems", "bonuses"}
+        assert bd["recency"]["max_points"] == 40
+        assert bd["documentation"]["max_points"] == 18
+        assert bd["metadata"]["max_points"] == 30
+        assert (
+            sum(f["points"] for f in bd.values()) == rep["health_score"]
+        )
+
+    def test_consistency_on_multiple_calls(self):
+        d = {"name": "test", "maintainer": "Team"}
+        assert (
+            tf.health_report(d, NOW_TS)["health_score"]
+            == tf.health_report(d, NOW_TS)["health_score"]
+        )
