@@ -294,49 +294,131 @@ def normalize_git_url(url: str | None) -> str | None:
 # screenshot detection (reference plugins/screenshot_detector.py:18-216)
 # ---------------------------------------------------------------------------
 
-_BADGE_URL_RE = re.compile(
-    r"(shields\.io|badge|travis-ci|circleci|codecov|coveralls|appveyor|"
-    r"github\.com/[^)\s]+/workflows|readthedocs|pypi\.org/project|"
-    r"img\.shields|badgen\.net)",
-    re.IGNORECASE,
-)
+# The reference's badge-service patterns, verbatim
+# (plugins/screenshot_detector.py:18-39) — including the generic
+# "badge" fallback that subsumes badge.fury/badgen/readthedocs-badge.
+BADGE_PATTERNS = [
+    r"shields\.io",
+    r"img\.shields\.io",
+    r"badge\.fury\.io",
+    r"travis-ci\.(org|com)",
+    r"codecov\.io",
+    r"coveralls\.io",
+    r"circleci\.com",
+    r"github\.com/[^/]+/[^/]+/workflows/[^/]+\.svg",
+    r"github\.com/[^/]+/[^/]+/actions/workflows/[^/]+/badge",
+    r"readthedocs\.org/[^/]+/badge",
+    r"pypi\.org/badges",
+    r"pypi\.python\.org/[^/]*badge",
+    r"ci\.appveyor\.com",
+    r"snyk\.io",
+    r"codacy\.com",
+    r"sonarcloud\.io",
+    r"badge",
+]
+_BADGE_URL_RE = re.compile("|".join(BADGE_PATTERNS), re.IGNORECASE)
 _MD_IMG_URL_RE = re.compile(r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)")
 _HTML_IMG_RE = re.compile(r"<img\b[^>]*>", re.IGNORECASE)
-_ATTR_WIDTH_RE = re.compile(r"""\bwidth\s*=\s*["']?(\d+)""", re.IGNORECASE)
-_STYLE_WIDTH_RE = re.compile(r"width\s*:\s*(\d+)px", re.IGNORECASE)
+_ATTR_WIDTH_RE = re.compile(
+    r"""\bwidth\s*=\s*(?:["']([^"']*)["']|([^\s>"']+))""", re.IGNORECASE
+)
+_STYLE_RE = re.compile(
+    r"""\bstyle\s*=\s*["']([^"']*)["']""", re.IGNORECASE
+)
+_STYLE_WIDTH_RE = re.compile(r"width\s*:\s*(\d+)(?:px)?", re.IGNORECASE)
 _SRC_RE = re.compile(r"""\bsrc\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
 
 MIN_SCREENSHOT_WIDTH = 200
 
 
+def is_badge_url(url) -> bool:
+    """Reference ``screenshot_detector.py:45-56``."""
+    if not url:
+        return False
+    return bool(_BADGE_URL_RE.search(url))
+
+
+def parse_width_from_style(style) -> int | None:
+    """Reference ``screenshot_detector.py:59-76``: first ``width: N`` in
+    the CSS string, px suffix optional."""
+    if not style:
+        return None
+    m = _STYLE_WIDTH_RE.search(style)
+    return int(m.group(1)) if m else None
+
+
+def parse_width_from_attribute(width_attr) -> int | None:
+    """Reference ``screenshot_detector.py:79-96``: strip a px suffix and
+    whitespace, None on anything non-numeric."""
+    if not width_attr:
+        return None
+    width_str = str(width_attr).rstrip("px").strip()
+    try:
+        return int(width_str)
+    except ValueError:
+        return None
+
+
+def _html_img_width(tag: str) -> int | None:
+    """Reference priority (``screenshot_detector.py:126-159``): the HTML
+    width attribute wins, then the inline-style width; the reference's
+    third step (fetch the image header over the network) is out of scope
+    in this engine — an ABSOLUTE http(s) URL with no declared width is
+    treated as unknown-size-keep, a relative one as undeterminable."""
+    am = _ATTR_WIDTH_RE.search(tag)
+    if am:
+        w = parse_width_from_attribute(am.group(1) or am.group(2))
+        if w is not None:
+            return w
+    sm = _STYLE_RE.search(tag)
+    if sm:
+        w = parse_width_from_style(sm.group(1))
+        if w is not None:
+            return w
+    return None
+
+
 def find_screenshots(markdown: str | None) -> list[str]:
     """Meaningful screenshot URLs in a document: markdown/HTML images,
-    excluding badge URLs, and excluding HTML images whose declared width
-    (attribute or inline style) is below 200 px. Markdown images carry no
-    size info and are kept unless badge-like (the reference would fetch
-    the image header; network is out of scope here and stubbed as
-    'unknown size -> keep')."""
+    excluding badge URLs (reference pattern list), and excluding HTML
+    images whose width is determinable and below 200 px. Markdown images
+    carry no size info and are kept unless badge-like. HTML images with
+    no declared width follow the reference's fetch-fallback shape minus
+    the network: absolute http(s) URLs are kept (unknown size), relative
+    URLs are dropped (the reference only fetches absolute URLs —
+    ``screenshot_detector.py:155-158`` — so a relative no-width image is
+    never counted there either)."""
     if not markdown:
         return []
     out: list[str] = []
     for url in _MD_IMG_URL_RE.findall(markdown):
-        if not _BADGE_URL_RE.search(url):
+        if not is_badge_url(url):
             out.append(url)
     for tag in _HTML_IMG_RE.findall(markdown):
         m = _SRC_RE.search(tag)
         if not m:
             continue
         url = m.group(1)
-        if _BADGE_URL_RE.search(url):
+        if is_badge_url(url):
             continue
-        width = None
-        wm = _ATTR_WIDTH_RE.search(tag) or _STYLE_WIDTH_RE.search(tag)
-        if wm:
-            width = int(wm.group(1))
-        if width is not None and width < MIN_SCREENSHOT_WIDTH:
-            continue
-        out.append(url)
+        width = _html_img_width(tag)
+        if width is not None:
+            if width >= MIN_SCREENSHOT_WIDTH:
+                out.append(url)
+        elif url.startswith(("http://", "https://")):
+            out.append(url)
     return out
+
+
+def detect_screenshots(html_content) -> dict:
+    """The reference plugin's result shape
+    (``screenshot_detector.py:162-216``)."""
+    shots = find_screenshots(html_content)
+    return {
+        "has_screenshots": bool(shots),
+        "screenshot_count": len(shots),
+        "screenshots": shots,
+    }
 
 
 # ---------------------------------------------------------------------------
