@@ -683,10 +683,14 @@ def _stars_bonus(stars: int) -> int:
 
 
 def _activity_bonus(github_updated, now_ts: int) -> int:
-    """Reference ``health_calculator.py:250-284``."""
+    """Reference ``health_calculator.py:250-284`` (invalid timestamp
+    types return 0, like the reference's try/except)."""
     if not github_updated:
         return 0
-    age_days = (now_ts - github_updated) / SECONDS_PER_DAY
+    try:
+        age_days = (now_ts - github_updated) / SECONDS_PER_DAY
+    except (ValueError, TypeError):
+        return 0
     if age_days < 30:
         return 10
     if age_days < 90:
@@ -698,11 +702,15 @@ def _activity_bonus(github_updated, now_ts: int) -> int:
     return 0
 
 
-def _issue_bonus(open_issues: int, stars: int) -> int:
-    """Reference ``health_calculator.py:286-321``."""
+def _issue_bonus(open_issues, stars) -> int:
+    """Reference ``health_calculator.py:286-321`` (invalid operand
+    types return 0, like the reference's try/except)."""
     if stars == 0:
         return 0
-    ratio = open_issues / stars
+    try:
+        ratio = open_issues / stars
+    except (ValueError, TypeError, ZeroDivisionError):
+        return 0
     if ratio < 0.1:
         return 10
     if ratio < 0.3:

@@ -349,3 +349,36 @@ class TestIntegrationScenarios:
             tf.health_report(d, NOW_TS)["health_score"]
             == tf.health_report(d, NOW_TS)["health_score"]
         )
+
+
+class TestGithubBonusBoundaries:
+    # reference test_health_score.py:1469-1560 (health_calculator tiers,
+    # exact boundary values on both sides)
+    def test_stars_bonus_boundaries(self):
+        for stars, bonus in [
+            (1000, 10), (5000, 10), (999, 7), (500, 7), (499, 5),
+            (100, 5), (99, 3), (50, 3), (49, 1), (10, 1), (9, 0), (0, 0),
+        ]:
+            assert tf._stars_bonus(stars) == bonus, stars
+
+    def test_activity_bonus_boundaries(self):
+        for days, bonus in [
+            (1, 10), (29, 10), (31, 7), (89, 7), (91, 5), (179, 5),
+            (181, 3), (364, 3), (366, 0),
+        ]:
+            assert tf._activity_bonus(NOW_TS - days * 86400, NOW_TS) == bonus, days
+        assert tf._activity_bonus(None, NOW_TS) == 0
+        assert tf._activity_bonus("not-a-timestamp", NOW_TS) == 0
+
+    def test_issue_bonus_boundaries(self):
+        for issues, stars, bonus in [
+            (5, 100, 10),   # 0.05 excellent
+            (20, 100, 7),   # 0.2 good
+            (40, 100, 5),   # 0.4 fair
+            (80, 100, 3),   # 0.8 poor
+            (150, 100, 0),  # 1.5 very poor
+            (10, 0, 0),     # zero stars
+        ]:
+            assert tf._issue_bonus(issues, stars) == bonus, (issues, stars)
+        assert tf._issue_bonus("bad", 100) == 0
+        assert tf._issue_bonus(None, 100) == 0
