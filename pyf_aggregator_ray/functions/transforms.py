@@ -240,24 +240,40 @@ _REPO_NAME_PART_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
 def extract_repo_identifier(url: str | None) -> str | None:
     """URL -> 'owner/repo' or None; handles the 5 URL shapes and strips
-    query/fragment/.git. Validation mirrors the reference's
-    ``is_valid_repo_identifier`` (``enrichers/github.py:101-113``):
-    exactly two path segments, both matching ``[A-Za-z0-9._-]+``, owner
-    not reserved — a deeper path (e.g. ``/tree/main``) is REJECTED, not
-    truncated."""
+    query/fragment/.git.
+
+    The reference extracts in two steps (``enrichers/github.py:
+    457-498`` then ``:101-113``): the HTTPS/www shape captures the whole
+    path and TRUNCATES to the first two segments (so
+    ``github.com/o/r/tree/main/docs`` -> ``o/r``), while the git:// /
+    git+https / git+ssh / ssh shapes match exactly ``owner/repo(.git)``
+    and deeper git paths fail the regex entirely; the identifier is then
+    cleaned of #fragment/?query and validated (two non-empty
+    ``[A-Za-z0-9._-]+`` segments, owner not reserved). This function
+    folds extract+clean+validate into one call with those exact
+    per-shape rules."""
     if not url:
         return None
     url = url.strip()
     path = None
-    for rx in (_GH_GIT_HTTPS, _GH_GIT_SSH, _GH_GIT, _GH_SSH, _GH_HTTP):
+    truncate = False
+    for rx in (_GH_GIT_HTTPS, _GH_GIT_SSH, _GH_GIT, _GH_SSH):
         m = rx.match(url)
         if m:
             path = m.group(1)
             break
     if path is None:
+        m = _GH_HTTP.match(url)
+        if m:
+            path = m.group(1)
+            truncate = True
+    if path is None:
         return None
-    path = path.split("#", 1)[0].split("?", 1)[0]
     parts = [p for p in path.split("/") if p]
+    if truncate and len(parts) > 2:
+        parts = parts[:2]
+    cleaned = "/".join(parts).split("#", 1)[0].split("?", 1)[0]
+    parts = [p for p in cleaned.split("/") if p]
     if len(parts) != 2:
         return None
     owner, repo = parts

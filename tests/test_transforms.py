@@ -83,9 +83,12 @@ class TestRepoUrls:
         "url,expected",
         [
             ("https://github.com/plone/plone.api", "plone/plone.api"),
-            # reference is_valid_repo_identifier rejects !=2 path parts
-            # (github.py:101-113): deep paths are NOT truncated
-            ("http://github.com/psf/requests/tree/main", None),
+            # the HTTPS shape truncates deep paths to owner/repo
+            # (github.py:470-475 takes parts[0:2]); git shapes do not
+            # match deep paths at all
+            ("http://github.com/psf/requests/tree/main", "psf/requests"),
+            ("https://github.com/plone/plone.api/tree/main/docs", "plone/plone.api"),
+            ("git://github.com/owner/repo/extra", None),
             ("https://github.com/own er/repo", None),  # charset rejected
             ("www.github.com/psf/requests", "psf/requests"),
             ("git://github.com/owner/repo.git", "owner/repo"),
