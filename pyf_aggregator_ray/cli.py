@@ -87,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--from-root", required=True)
     mg.add_argument("--to-root", required=True)
 
+    rc = sub.add_parser(
+        "recreate",
+        help="K6: zero-downtime in-place recreation — re-export the live "
+        "version into a fresh one, verify, alias-switch (reference "
+        "typesense_util recreate_collection)",
+    )
+    rc.add_argument("--index-root", required=True)
+    rc.add_argument(
+        "--keep-old",
+        action="store_true",
+        help="keep the old version dir for manual deletion (default deletes)",
+    )
+
     pr = sub.add_parser("profiles", help="list/validate YAML profiles")
     pr.add_argument("--profiles-path")
     pr.add_argument("--profile", help="show one profile (validated)")
@@ -196,6 +209,13 @@ def main(argv: list[str] | None = None) -> int:
             manifest = migrate_index(args.from_root, args.to_root)
             print(json.dumps({"version": manifest["version"],
                               "kind": manifest["kind"]}))
+        elif args.cmd == "recreate":
+            from .pipelines.maintenance import recreate_index
+
+            result = recreate_index(
+                args.index_root, delete_old=not args.keep_old
+            )
+            print(json.dumps(result))
         elif args.cmd == "packages":
             from .pipelines.packagepipe import profile_package_run
 

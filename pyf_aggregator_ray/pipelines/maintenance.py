@@ -37,6 +37,30 @@ from ..stages import idsets
 from ..state import manifest as mf
 
 
+def _write_parquet_nonbare(
+    ds: ray.data.Dataset, out_path: str, schema_src: str
+) -> None:
+    """``write_parquet`` that never leaves an unreadable artifact: a
+    dataset whose every block was filtered empty writes NO files, so a
+    later ``read_parquet`` of the version dir raises FileNotFoundError.
+    When that happens, materialize one zero-row file carrying the source
+    artifact's schema — an empty index version must stay readable (the
+    empty-source recreate path, reference
+    ``tests/test_typesense_util.py:467-494``)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    ds.write_parquet(out_path)
+    if not os.path.isdir(out_path) or not any(
+        n.endswith(".parquet") for n in os.listdir(out_path)
+    ):
+        os.makedirs(out_path, exist_ok=True)
+        schema = pads.dataset(schema_src).schema
+        pq.write_table(
+            schema.empty_table(), os.path.join(out_path, "empty.parquet")
+        )
+
+
 @ray.remote
 def _arr_len(arr) -> int:
     return int(len(arr))
@@ -143,14 +167,21 @@ def delete_docs(
         )
 
     docs = ray.data.read_parquet(os.path.join(live, "docs"))
-    idsets.filter_out_ids(docs, tombs_ref).write_parquet(
-        os.path.join(vdir, "docs")
+    _write_parquet_nonbare(
+        idsets.filter_out_ids(docs, tombs_ref),
+        os.path.join(vdir, "docs"),
+        os.path.join(live, "docs"),
     )
 
     postings = ray.data.read_parquet(os.path.join(live, "postings"))
-    postings.map_batches(
-        lambda t: _filter_posting_batch(t, tombs_ref), batch_format="pyarrow"
-    ).write_parquet(os.path.join(vdir, "postings"))
+    _write_parquet_nonbare(
+        postings.map_batches(
+            lambda t: _filter_posting_batch(t, tombs_ref),
+            batch_format="pyarrow",
+        ),
+        os.path.join(vdir, "postings"),
+        os.path.join(live, "postings"),
+    )
 
     dagg = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"]).aggregate(
         Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
@@ -282,6 +313,76 @@ def migrate_index(src_root: str, dst_root: str) -> dict:
     mf.write_manifest(vdir, manifest)
     mf.switch_alias(dst_root, version)
     return manifest
+
+
+def recreate_index(index_root: str, delete_old: bool = True) -> dict:
+    """K6 zero-downtime in-place recreation with alias switch (reference
+    ``typesense_util.py:174-270`` ``recreate_collection``): re-export the
+    live version's doc and posting tables into a fresh version dir
+    (re-encoded through the current writer — the schema-evolution path),
+    verify with the reference's data-loss guards, switch the alias, then
+    optionally delete the old version directory.
+
+    Guards (reference ``tests/test_typesense_util.py:390-494``):
+    an index that HAS documents but exports none aborts and removes the
+    partial version; a re-import landing 0 docs when the source had some
+    likewise aborts; an EMPTY live index recreates successfully to
+    another empty version. ``delete_old`` defaults True (reference
+    default); False keeps the old version for manual deletion."""
+    import shutil as _sh
+
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    old_stats = mf.read_stats(live)
+    old_count = int(old_stats.get("num_docs") or 0)
+    version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    os.makedirs(vdir, exist_ok=True)
+
+    docs = ray.data.read_parquet(os.path.join(live, "docs"))
+    exported = docs.count()
+    if old_count > 0 and exported == 0:
+        _sh.rmtree(vdir, ignore_errors=True)
+        raise ValueError(f"export failed: no data from {live}")
+    _write_parquet_nonbare(
+        docs, os.path.join(vdir, "docs"), os.path.join(live, "docs")
+    )
+    _write_parquet_nonbare(
+        ray.data.read_parquet(os.path.join(live, "postings")),
+        os.path.join(vdir, "postings"),
+        os.path.join(live, "postings"),
+    )
+    # side artifacts (typo / positions / field indexes) carry over as-is
+    for extra in os.listdir(live):
+        src = os.path.join(live, extra)
+        if extra not in ("docs", "postings") and os.path.isdir(src):
+            _sh.copytree(src, os.path.join(vdir, extra), dirs_exist_ok=True)
+
+    new_count = ray.data.read_parquet(
+        os.path.join(vdir, "docs"), columns=["doc_id"]
+    ).count()
+    if new_count == 0 and old_count > 0:
+        _sh.rmtree(vdir, ignore_errors=True)
+        raise ValueError("import failed: document count mismatch")
+
+    mf.write_stats(vdir, old_stats)
+    manifest = dict(mf.read_manifest(live) or {})
+    manifest.update(
+        {"version": version, "kind": "recreate", "recreated_from": live}
+    )
+    mf.write_manifest(vdir, manifest)
+    mf.switch_alias(index_root, version)
+    if mf.read_alias(index_root) != vdir:
+        raise ValueError("alias update failed")
+    if delete_old:
+        _sh.rmtree(live, ignore_errors=True)
+    return {
+        "old_version": live,
+        "new_version": vdir,
+        "num_docs": int(new_count),
+        "deleted_old": bool(delete_old),
+    }
 
 
 # Enrichment-ONLY fields (the reference's GITHUB_FIELDS, main.py:17-25):

@@ -225,3 +225,49 @@ def test_refresh_merge_keeps_recomputed_zero_scores():
     )
     merged = mx.refresh_merge(old, new).to_pandas()
     assert merged.loc[0, "health_score"] == 0
+
+
+def test_recreate_index_default_deletes_old(small_index):
+    """Reference recreate_collection semantics (typesense_util.py:174-270):
+    new version carries identical docs + query behavior, alias switches,
+    and the old version dir is deleted by default."""
+    root, cfg = small_index
+    old_live = mf.read_alias(root)
+    reader_before = IndexReader(root, cfg)
+    before = reader_before.score("import ident1", 10)
+
+    result = mx.recreate_index(root)
+    assert result["deleted_old"] is True
+    assert not os.path.exists(old_live)
+    new_live = mf.read_alias(root)
+    assert new_live == result["new_version"] and new_live != old_live
+    assert (mf.read_manifest(new_live) or {}).get("kind") == "recreate"
+    # identical content and scoring through the new version
+    assert IndexReader(root, cfg).score("import ident1", 10) == before
+    assert mf.read_stats(new_live)["num_docs"] == result["num_docs"]
+
+
+def test_recreate_index_keep_old(small_index):
+    root, cfg = small_index
+    old_live = mf.read_alias(root)
+    result = mx.recreate_index(root, delete_old=False)
+    assert result["deleted_old"] is False
+    assert os.path.exists(old_live)  # kept for manual deletion
+    assert mf.read_alias(root) != old_live
+
+
+def test_recreate_index_empty_source_succeeds(small_index, synth_corpus_table):
+    """An EMPTY live index recreates to another empty version without
+    raising (reference tests/test_typesense_util.py:467-494)."""
+    root, cfg = small_index
+    all_ids = set(synth_corpus_table["doc_id"].to_pylist())
+    mx.delete_docs(root, all_ids, cfg)
+    assert mf.read_stats(mf.read_alias(root))["num_docs"] == 0
+    result = mx.recreate_index(root)
+    assert result["num_docs"] == 0
+    assert mf.read_alias(root) == result["new_version"]
+
+
+def test_recreate_index_no_live_raises(tmp_path):
+    with pytest.raises(RuntimeError):
+        mx.recreate_index(str(tmp_path / "nonexistent_root"))
