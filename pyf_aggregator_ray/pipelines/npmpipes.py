@@ -44,6 +44,9 @@ def npm_transform(sf_dir: str) -> pa.Table:
                     "keywords": "|".join(sorted(r["keywords"])),
                     "requires_dist": "|".join(sorted(r["requires_dist"])),
                     "home_page": r["home_page"],
+                    "homepage_project_url": dict(r["project_urls"] or {}).get(
+                        "Homepage", ""
+                    ),
                     "repository_url": r["repository_url"],
                     "package_url": r["package_url"],
                     "release_url": r["release_url"],
@@ -78,6 +81,7 @@ _OUT_SCHEMA = pa.schema(
         ("keywords", pa.string()),
         ("requires_dist", pa.string()),
         ("home_page", pa.string()),
+        ("homepage_project_url", pa.string()),
         ("repository_url", pa.string()),
         ("package_url", pa.string()),
         ("release_url", pa.string()),
@@ -181,6 +185,11 @@ SELECT name, version, npm_scope, author, author_email, maintainer,
        CASE WHEN homepage_raw <> '' THEN homepage_raw
             WHEN repository_url <> '' THEN {norm_git}
             ELSE '' END AS home_page,
+       -- project_urls carries {{"Homepage": home_page}} when present
+       -- (npm_fetcher.py:573); flattened for comparison
+       CASE WHEN homepage_raw <> '' THEN homepage_raw
+            WHEN repository_url <> '' THEN {norm_git}
+            ELSE '' END AS homepage_project_url,
        repository_url,
        'https://www.npmjs.com/package/' || quoted AS package_url,
        'https://www.npmjs.com/package/' || quoted || '/v/' || version AS release_url,

@@ -324,6 +324,9 @@ def npm_transform_doc(
         "python_versions": [],
         "home_page": home_page,
         "repository_url": repository_url,
+        "project_url": "",
+        "project_urls": {"Homepage": home_page} if home_page else {},
+        "urls": [],
         "package_url": f"https://www.npmjs.com/package/{quoted}",
         "release_url": f"https://www.npmjs.com/package/{quoted}/v/{version}",
         "docs_url": "",
@@ -364,7 +367,9 @@ def npm_transform_batch(
         out.append(npm_transform_doc(name, version, time_iso, version_data, readme))
     if not out:
         return _UNIFIED_SCHEMA.empty_table()
-    return pa.Table.from_pylist(out).cast(_UNIFIED_SCHEMA)
+    # schema given up front: from_pylist builds project_urls as a true
+    # map column (a post-hoc struct->map cast is unimplemented in Arrow)
+    return pa.Table.from_pylist(out, schema=_UNIFIED_SCHEMA)
 
 
 _UNIFIED_SCHEMA = pa.schema(
@@ -386,6 +391,9 @@ _UNIFIED_SCHEMA = pa.schema(
         ("python_versions", pa.list_(pa.string())),
         ("home_page", pa.string()),
         ("repository_url", pa.string()),
+        ("project_url", pa.string()),
+        ("project_urls", pa.map_(pa.string(), pa.string())),
+        ("urls", pa.list_(pa.string())),
         ("package_url", pa.string()),
         ("release_url", pa.string()),
         ("docs_url", pa.string()),
