@@ -28,6 +28,7 @@ composes under ordered concatenation.
 from __future__ import annotations
 
 import os
+import re
 import time
 
 import numpy as np
@@ -43,6 +44,63 @@ from ..stages.postings import encode_partition
 from ..stages.tokenize import TokenizeStage, doc_meta_batch
 from ..state import manifest as mf
 from .build_index import _merge_stage, _tokens_ds
+
+_FEED_LINK_RE = re.compile(r"/project/([^/]+)/?(?:([^/]+)/?)?$")
+
+
+def parse_feed_entry(entry: dict, filter_name: str | None = None) -> dict | None:
+    """S3: one RSS feed entry -> ``{package_id, release_id, timestamp,
+    link, description}`` or None (reference ``fetcher.py:669-736``).
+
+    The registry's feeds come in two shapes — new-package entries
+    (``title="pkg added to PyPI"``, link ``/project/pkg/``) and release
+    entries (``title="pkg 1.0.0"``, link ``/project/pkg/1.0.0/``). The
+    link is primary (most reliable); the title is the fallback, with the
+    "added to" patterns yielding no release id. Timestamp comes from
+    ``published_parsed`` then ``updated_parsed`` (struct_time via
+    ``time.mktime``, or a numeric epoch passed through). ``filter_name``
+    drops entries whose package id doesn't contain it."""
+    title = entry.get("title", "") or ""
+    link = entry.get("link", "") or ""
+
+    package_id = None
+    release_id = None
+    if link:
+        m = _FEED_LINK_RE.search(link)
+        if m:
+            package_id = m.group(1)
+            release_id = m.group(2) or None
+    if not package_id and title:
+        if " added to PyPI" in title:
+            package_id = title.split(" added to PyPI")[0].strip()
+        elif " added to" in title:
+            package_id = title.split(" added to")[0].strip()
+        else:
+            parts = title.rsplit(" ", 1)
+            if len(parts) == 2:
+                package_id = parts[0].strip()
+                release_id = parts[1].strip()
+            else:
+                package_id = title.strip()
+    if not package_id:
+        return None
+
+    timestamp = None
+    for key in ("published_parsed", "updated_parsed"):
+        val = entry.get(key)
+        if val:
+            timestamp = val if isinstance(val, (int, float)) else time.mktime(val)
+            break
+
+    if filter_name and filter_name not in package_id:
+        return None
+    return {
+        "package_id": package_id,
+        "release_id": release_id,
+        "timestamp": timestamp,
+        "link": link,
+        "description": entry.get("summary", ""),
+    }
 
 
 def incremental_update(

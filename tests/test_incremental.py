@@ -110,3 +110,68 @@ def test_incremental_with_interleaved_doc_ids(tmp_path, synth_corpus_table):
         assert list(ids) == [p[0] for p in postings], term
         assert list(tfs) == [p[1] for p in postings], term
         assert list(dls) == [p[2] for p in postings], term
+
+
+def test_parse_feed_entry_reference_vectors():
+    """RSS-entry parse goldens (reference tests/test_fetcher.py:467-553
+    plus the new-packages feed shape)."""
+    import time as _time
+
+    from pyf_aggregator_ray.pipelines.incremental import parse_feed_entry
+
+    r = parse_feed_entry(
+        {
+            "title": "plone.api 2.0.0",
+            "link": "https://pypi.org/project/plone.api/2.0.0/",
+            "summary": "A simple API for Plone",
+            "published_parsed": _time.strptime("2023-06-15", "%Y-%m-%d"),
+        }
+    )
+    assert r["package_id"] == "plone.api"
+    assert r["release_id"] == "2.0.0"
+    assert r["timestamp"] is not None
+    assert r["description"] == "A simple API for Plone"
+
+    r = parse_feed_entry(
+        {
+            "title": "plone-app-contenttypes 1.0.0",
+            "link": "https://pypi.org/project/plone-app-contenttypes/1.0.0/",
+            "summary": "",
+            "published_parsed": None,
+        }
+    )
+    assert (r["package_id"], r["release_id"]) == (
+        "plone-app-contenttypes",
+        "1.0.0",
+    )
+
+    assert parse_feed_entry({"title": "", "link": "", "summary": ""}) is None
+
+    r = parse_feed_entry(
+        {"title": "", "link": "https://pypi.org/project/some-package/1.0.0/"}
+    )
+    assert (r["package_id"], r["release_id"]) == ("some-package", "1.0.0")
+
+    r = parse_feed_entry(
+        {"title": "some-package", "link": "https://pypi.org/project/some-package/"}
+    )
+    assert r["package_id"] == "some-package"
+    assert r["release_id"] is None
+
+    # new-packages feed: "added to PyPI" title, no release id
+    r = parse_feed_entry({"title": "fresh-pkg added to PyPI", "link": ""})
+    assert (r["package_id"], r["release_id"]) == ("fresh-pkg", None)
+
+    # name filter drops non-matching entries
+    assert (
+        parse_feed_entry(
+            {"title": "other 1.0", "link": ""}, filter_name="plone"
+        )
+        is None
+    )
+    assert (
+        parse_feed_entry(
+            {"title": "plone.api 1.0", "link": ""}, filter_name="plone"
+        )["package_id"]
+        == "plone.api"
+    )
