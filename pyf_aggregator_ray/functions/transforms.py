@@ -219,6 +219,28 @@ def has_classifier_prefix(classifiers: list[str] | None, prefixes: list[str]) ->
     return False
 
 
+def restructure_pypi_json(package_json: dict | None) -> dict | None:
+    """S2 restructure (reference ``fetcher.py:565-580``): flatten the
+    registry JSON's ``info`` section into the document, attach the
+    root-level ``urls`` list, drop the deprecated ``downloads`` counters
+    (info-level and per-url) and per-url ``md5_digest``, and seed
+    ``name_sortable`` from the name. Returns None when there is no
+    ``info`` section (the reference skips such packages)."""
+    if not package_json:
+        return None
+    data = package_json.get("info")
+    if not data:
+        return None
+    data = dict(data)
+    data["urls"] = [dict(u) for u in package_json.get("urls", [])]
+    data.pop("downloads", None)
+    for url in data["urls"]:
+        url.pop("downloads", None)
+        url.pop("md5_digest", None)
+    data["name_sortable"] = data.get("name")
+    return data
+
+
 # ---------------------------------------------------------------------------
 # repo URL extraction / normalization
 # ---------------------------------------------------------------------------

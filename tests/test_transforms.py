@@ -829,3 +829,52 @@ class TestRSTSectionWrappers:
         assert "simple API" in r["first_chapter"]
         assert "pip install" in r["main_content"]
         assert "Major release" in r["changelog"]
+
+
+class TestRestructurePypiJson:
+    """S2 restructure vectors (reference fetcher.py:565-580)."""
+
+    def test_flattens_info_and_attaches_urls(self):
+        pj = {
+            "info": {"name": "pkg", "version": "1.0", "downloads": {"d": 1}},
+            "urls": [
+                {"url": "https://f/1.whl", "downloads": 5, "md5_digest": "x",
+                 "sha256_digest": "s"},
+            ],
+        }
+        out = tf.restructure_pypi_json(pj)
+        assert out["name"] == "pkg"
+        assert out["name_sortable"] == "pkg"
+        assert "downloads" not in out
+        assert out["urls"] == [{"url": "https://f/1.whl", "sha256_digest": "s"}]
+        # input not mutated (batch functions must be pure)
+        assert "downloads" in pj["info"]
+        assert "md5_digest" in pj["urls"][0]
+
+    def test_missing_info_returns_none(self):
+        assert tf.restructure_pypi_json({}) is None
+        assert tf.restructure_pypi_json({"info": {}}) is None
+        assert tf.restructure_pypi_json(None) is None
+
+    def test_missing_urls_defaults_empty(self):
+        out = tf.restructure_pypi_json({"info": {"name": "p"}})
+        assert out["urls"] == []
+
+
+class TestClassifierPrefixVectors:
+    """Reference has_classifiers vectors (tests/test_fetcher.py:43-130)."""
+
+    def test_vectors(self):
+        P = ["Framework :: Plone"]
+        assert tf.has_classifier_prefix(["Framework :: Plone"], P)
+        assert tf.has_classifier_prefix(
+            ["Development Status :: 5 - Production/Stable",
+             "Framework :: Plone :: 6.0"], P)
+        assert tf.has_classifier_prefix(
+            ["Framework :: Plone", "Framework :: Plone :: 5.2",
+             "Framework :: Plone :: 6.0"], P)
+        assert not tf.has_classifier_prefix([], P)
+        assert not tf.has_classifier_prefix(None, P)
+        assert not tf.has_classifier_prefix(
+            ["Framework :: Django", "Framework :: Flask",
+             "Framework :: Pyramid"], P)
