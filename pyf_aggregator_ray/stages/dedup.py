@@ -425,6 +425,127 @@ def candidate_pairs(
     )
 
 
+@ray.remote
+def _unique_pairs_task(*tables: pa.Table) -> pa.Table:
+    """Distinct (doc_a, doc_b) rows from possibly-duplicated pair tables
+    (a pair colliding in several LSH bands appears once per band) — one
+    packed-int np.unique, no shuffle."""
+    tbls = [t for t in tables if t.num_rows]
+    if not tbls:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tbls)
+    a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    packed = np.unique((a << 32) | b)
+    return pa.table(
+        {
+            "doc_a": pa.array(packed >> 32, type=pa.int64()),
+            "doc_b": pa.array(packed & 0xFFFFFFFF, type=pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _shingle_sets_task(*tables: pa.Table) -> dict:
+    """doc_id -> sorted int64 codes of its distinct shingles, built from
+    candidate-restricted (doc_id, shingle) rows. Codes come from ONE
+    dictionary-encode over the restricted rows — exact string identity
+    (no hash collisions), bounded by the candidate docs' shingle count."""
+    tbls = [t for t in tables if t.num_rows]
+    if not tbls:
+        return {}
+    t = pa.concat_tables(tbls)
+    arr = t["shingle"].combine_chunks().dictionary_encode()
+    codes = arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, ids))
+    ids_s, codes_s = ids[order], codes[order]
+    change = np.empty(len(ids_s), dtype=bool)
+    change[0] = True
+    change[1:] = ids_s[1:] != ids_s[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.concatenate([starts[1:], [len(ids_s)]])
+    return {int(ids_s[s]): codes_s[s:e] for s, e in zip(starts, ends)}
+
+
+def pair_jaccard_candidates(
+    shingle_ds: ray.data.Dataset,
+    threshold: float,
+    cand_pairs: ray.data.Dataset,
+) -> pa.Table:
+    """Exact Jaccard verify restricted to an LSH-bounded candidate-pair
+    set — the scale path used by :func:`minhash_lsh_dedup`.
+
+    The general :func:`pair_jaccard` inverts the whole shingle table
+    (``groupby(shingle)`` with one Python group call per DISTINCT
+    shingle) — correct for the exhaustive baseline, but the group count
+    grows with corpus vocabulary and per-group overhead dominates when a
+    banding has already bounded the pairs. Here the corpus-sized work is
+    ONE vectorized filter scan (shingle rows of candidate docs only);
+    everything after is bounded by the candidate set: per-doc sorted
+    shingle-code arrays in the object store, then a ``map_batches`` over
+    the distinct pair table computing |A∩B| with sorted-array intersects.
+    Output is identical (same sets -> same jaccard, round6)."""
+    cand_ref = _pair_doc_ids_task.remote(*cand_pairs.to_arrow_refs())
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        cand = ray.get(cand_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, cand)))
+
+    restricted = shingle_ds.map_batches(keep, batch_format="pyarrow")
+    sets_ref = _shingle_sets_task.remote(*restricted.to_arrow_refs())
+    pairs_tbl_ref = _unique_pairs_task.remote(*cand_pairs.to_arrow_refs())
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_pairs("jaccard", pa.float64())
+        sets = ray.get(sets_ref)
+        a_ids = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ids = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.empty(len(a_ids), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+            sa = sets.get(int(a))
+            sb = sets.get(int(b))
+            if sa is None or sb is None:
+                j[i] = 0.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j[i] = inter / union if union else 0.0
+        keep_m = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids[keep_m], type=pa.int64()),
+                "doc_b": pa.array(b_ids[keep_m], type=pa.int64()),
+                "jaccard": pa.array(round6(j[keep_m]), type=pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow_refs([pairs_tbl_ref])
+        .map_batches(verify_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    rows = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), float(r["jaccard"])) for r in out
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def pair_jaccard(
     shingle_ds: ray.data.Dataset,
     threshold: float,
@@ -533,16 +654,14 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    # distinct=False: the pair set dedups implicitly, saving a shuffle
+    # distinct=False: the verify path dedups pairs itself, saving a shuffle
     cand_ds = candidate_pairs(band_rows, distinct=False).materialize()
     if cand_ds.count() == 0:
         return _empty_pairs("jaccard", pa.float64())
     shingle_ds = docs.map_batches(
         lambda t: shingle_rows_batch(t, cfg.shingle_k), batch_format="pyarrow"
     )
-    return pair_jaccard(
-        shingle_ds, cfg.jaccard_threshold, pair_filter=pair_set_ref(cand_ds)
-    )
+    return pair_jaccard_candidates(shingle_ds, cfg.jaccard_threshold, cand_ds)
 
 
 # ---------------------------------------------------------------------------
