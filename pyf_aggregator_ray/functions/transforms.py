@@ -470,10 +470,12 @@ _KEYWORD_SPLIT_RE = re.compile(r"[,\s]+")
 
 
 def clean_data(doc: dict) -> dict:
-    """Null normalization with the reference's rules (``indexer.py:8-37``):
+    """Null normalization with the reference's rules (``indexer.py:8-37``
+    plus the npm indexer's additions, ``npm_indexer.py:17-60``):
     None list fields -> [], keyword STRING -> list split on [,\\s]+,
-    None timestamps -> 0 (sorts to the bottom descending), other None -> '',
-    default registry 'pypi'."""
+    keyword LIST entries stripped with empties dropped, None/empty-string
+    timestamps -> 0 (sorts to the bottom descending), ``npm_*_score``
+    floats None -> 0.0, other None -> '', default registry 'pypi'."""
     out = dict(doc)
     for k in LIST_FIELDS:
         if k in out and out[k] is None:
@@ -481,12 +483,17 @@ def clean_data(doc: dict) -> dict:
     kw = out.get("keywords")
     if isinstance(kw, str):
         out["keywords"] = [w for w in _KEYWORD_SPLIT_RE.split(kw) if w]
+    elif isinstance(kw, list):
+        out["keywords"] = [k.strip() for k in kw if k and str(k).strip()]
     for k in TIMESTAMP_FIELDS:
-        if k in out and out[k] is None:
+        if k in out and (out[k] is None or out[k] == ""):
             out[k] = 0
     for k, v in out.items():
         if v is None:
-            out[k] = ""
+            if k.startswith("npm_") and k.endswith("_score"):
+                out[k] = 0.0
+            else:
+                out[k] = ""
     out.setdefault("registry", "pypi")
     return out
 

@@ -189,3 +189,28 @@ def test_render_then_split_rst_end_to_end():
     assert "Intro paragraph." in r["first_chapter"]
     assert "Call" in r["main_content"]
     assert "1.0" in r["changelog"]
+
+
+def test_shift_preserves_attributes_and_siblings():
+    """Reference normalize_headings vectors (tests/test_rst_to_html.py:
+    124-170): attributes ride along, non-heading elements untouched,
+    entity-escaped heading content preserved."""
+    from pyf_aggregator_ray.functions.rendering import shift_headings
+
+    html = '<h1 id="main-title" class="title">Title</h1><h1 id="section">S</h1>'
+    out = shift_headings(html)
+    assert 'id="main-title"' in out and 'class="title"' in out
+    assert "<h1" not in out and out.count("<h2") == 2
+
+    html = "<h1>T</h1><p>Paragraph</p><ul><li>Item</li></ul><div>Content</div>"
+    out = shift_headings(html)
+    assert "<p>Paragraph</p>" in out
+    assert "<li>Item</li>" in out
+    assert "<div>Content</div>" in out
+
+    out = shift_headings("<h1>Special Characters: &amp; &lt; &gt;</h1>")
+    assert "Special Characters" in out and "&amp;" in out
+
+    assert shift_headings("") == ""
+    assert shift_headings(None) is None
+    assert shift_headings("<p>no headings</p>") == "<p>no headings</p>"

@@ -878,3 +878,39 @@ class TestClassifierPrefixVectors:
         assert not tf.has_classifier_prefix(
             ["Framework :: Django", "Framework :: Flask",
              "Framework :: Pyramid"], P)
+
+
+class TestCleanDataNpmIndexerRules:
+    """npm indexer clean_data additions (npm_indexer.py:17-60, vectors
+    from tests/test_npm_indexer.py:88-204)."""
+
+    def test_keyword_list_entries_stripped(self):
+        out = tf.clean_data({"keywords": [" web ", "", "cms", "  "]})
+        assert out["keywords"] == ["web", "cms"]
+
+    def test_empty_string_timestamp_to_zero(self):
+        assert tf.clean_data({"upload_timestamp": ""})["upload_timestamp"] == 0
+
+    def test_npm_scores_none_to_float_zero(self):
+        out = tf.clean_data(
+            {
+                "npm_quality_score": None,
+                "npm_popularity_score": None,
+                "npm_maintenance_score": None,
+                "npm_final_score": None,
+                "other_field": None,
+            }
+        )
+        for k in (
+            "npm_quality_score",
+            "npm_popularity_score",
+            "npm_maintenance_score",
+            "npm_final_score",
+        ):
+            assert out[k] == 0.0 and isinstance(out[k], float), k
+        assert out["other_field"] == ""
+
+    def test_npm_scores_preserved(self):
+        out = tf.clean_data({"npm_final_score": 0.85, "registry": "npm"})
+        assert out["npm_final_score"] == 0.85
+        assert out["registry"] == "npm"
