@@ -429,7 +429,9 @@ def _phrase_tokens(query: str) -> list[str]:
     return re.findall("[a-z0-9]+", query.lower())
 
 
-def ensure_positions_artifact(sf_dir: str, vdir: str) -> str:
+def ensure_positions_artifact(
+    sf_dir: str, vdir: str, corpus: "ray.data.Dataset | None" = None
+) -> str:
     """Build (once per index version) the positional artifact: one row per
     token occurrence, ``(term, doc_id, pos)``, term-sorted so query-time
     reads are predicate-pushdown lookups on the phrase's terms only.
@@ -464,7 +466,8 @@ def ensure_positions_artifact(sf_dir: str, vdir: str) -> str:
             }
         )
 
-    read_corpus(sf_dir).select_columns(["doc_id", "content"]).map_batches(
+    src = corpus if corpus is not None else read_corpus(sf_dir)
+    src.select_columns(["doc_id", "content"]).map_batches(
         to_positions, batch_format="pyarrow"
     ).sort("term").write_parquet(path)
     open(marker, "w").close()
@@ -490,39 +493,62 @@ class PhraseScorerStage:
         self._keys: dict[str, np.ndarray] = {}
 
     def _term_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
+        # one pushdown read PER term, issued concurrently (the artifact
+        # is term-sorted, so each read touches only that term's row
+        # groups) — never materialize the term strings themselves: a hot
+        # term has millions of rows and a to_pylist/argsort over them
+        # dominated phrase latency at the 3M-doc scale smoke
+        from concurrent.futures import ThreadPoolExecutor
+
         missing = [t for t in set(terms) if t not in self._keys]
         if missing:
-            tbl = self._pos.to_table(
-                columns=["term", "doc_id", "pos"],
-                filter=pads.field("term").isin(missing),
-            )
-            doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
-            pos = tbl["pos"].to_numpy(zero_copy_only=False)
-            keys = (doc << _POS_SHIFT) | pos
-            terms_np = np.asarray(tbl["term"].to_pylist())
-            order = np.argsort(terms_np, kind="stable")
-            sorted_terms = terms_np[order]
-            for t in missing:
-                if len(sorted_terms):
-                    lo = np.searchsorted(sorted_terms, t, side="left")
-                    hi = np.searchsorted(sorted_terms, t, side="right")
-                    self._keys[t] = np.sort(keys[order[lo:hi]])
-                else:
-                    self._keys[t] = np.empty(0, dtype=np.int64)
+
+            def load(t: str) -> tuple[str, np.ndarray]:
+                tbl = self._pos.to_table(
+                    columns=["doc_id", "pos"], filter=pads.field("term") == t
+                )
+                doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                pos = tbl["pos"].to_numpy(zero_copy_only=False)
+                return t, np.sort((doc << _POS_SHIFT) | pos)
+
+            with ThreadPoolExecutor(max_workers=min(4, len(missing))) as ex:
+                for t, arr in ex.map(load, missing):
+                    self._keys[t] = arr
         return {t: self._keys[t] for t in terms}
+
+    @staticmethod
+    def _sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Intersection of two SORTED UNIQUE int64 arrays in
+        O(|small| log |big|) — np.intersect1d re-sorts the concatenation
+        (O((|a|+|b|) log)), which dominated warm phrase latency when one
+        term was hot."""
+        if a.size > b.size:
+            a, b = b, a
+        if a.size == 0:
+            return a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] == a]
 
     def match_docs(self, phrase: str) -> np.ndarray:
         toks = _phrase_tokens(phrase)
         if not toks:
             return np.empty(0, dtype=np.int64)
         keys = self._term_keys(toks)
-        survivors = keys[toks[0]]
-        for i, t in enumerate(toks[1:], start=1):
-            if len(survivors) == 0:
+        # shift every term's keys to the position-0 anchor; adjacency is
+        # a symmetric conjunction, so intersect in ascending-size order
+        # (rarest term first) with early exit — survivors shrink to the
+        # rarest term's cardinality after the first intersect instead of
+        # carrying a hot first token through the whole chain
+        shifted = [(keys[t].size, keys[t] - i) for i, t in enumerate(toks)]
+        if any(size == 0 for size, _ in shifted):
+            return np.empty(0, dtype=np.int64)
+        shifted.sort(key=lambda x: x[0])
+        survivors = shifted[0][1]
+        for _, arr in shifted[1:]:
+            if survivors.size == 0:
                 break
-            survivors = np.intersect1d(
-                survivors, keys[t] - i, assume_unique=False
-            )
+            survivors = self._sorted_intersect(survivors, arr)
         return np.unique(survivors >> _POS_SHIFT)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
