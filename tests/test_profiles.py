@@ -77,3 +77,48 @@ def test_profile_driven_package_run(ray_session):
     django = profile_package_run("django")
     assert django["n_pypi"] == 0  # no Django classifiers in the fixture
     assert django["n_npm"] == 0  # no npm config on the profile
+
+
+def test_error_paths_reference_vectors(tmp_path):
+    """Config error paths (reference tests/test_profiles.py:25-304):
+    missing file, invalid YAML, missing profiles key, empty config,
+    per-profile validation failures, and sorted listing."""
+    import pytest
+
+    from pyf_aggregator_ray.state.profiles import ProfileError, ProfileManager
+
+    with pytest.raises(FileNotFoundError):
+        ProfileManager(str(tmp_path / "missing.yaml"))
+
+    bad_yaml = tmp_path / "bad.yaml"
+    bad_yaml.write_text("profiles: [unclosed\n  - ][")
+    with pytest.raises(ProfileError):
+        ProfileManager(str(bad_yaml))
+
+    no_key = tmp_path / "nokey.yaml"
+    no_key.write_text("something_else:\n  a: 1\n")
+    with pytest.raises(ProfileError):
+        ProfileManager(str(no_key))
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    with pytest.raises(ProfileError):
+        ProfileManager(str(empty))
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        "profiles:\n"
+        "  zeta:\n    name: Zeta\n    classifiers: ['Framework :: Z']\n"
+        "  alpha:\n    name: Alpha\n    classifiers: ['Framework :: A']\n"
+        "  noname:\n    classifiers: ['Framework :: X']\n"
+        "  nocls:\n    name: NoCls\n"
+        "  strcls:\n    name: StrCls\n    classifiers: 'Framework :: S'\n"
+        "  emptycls:\n    name: E\n    classifiers: []\n"
+    )
+    pm = ProfileManager(str(cfg))
+    # sorted listing
+    assert pm.list_profiles() == sorted(pm.list_profiles())
+    assert pm.get("alpha").name == "Alpha"
+    for bad in ("noname", "nocls", "strcls", "emptycls", "nonexistent"):
+        with pytest.raises(ProfileError):
+            pm.get(bad)
