@@ -396,6 +396,7 @@ PRESERVED_FIELDS = (
     "github_updated",
     "github_open_issues",
     "github_url",
+    "contributors",
 )
 
 
@@ -421,6 +422,20 @@ def refresh_merge(
 
     union = tag(new_docs, "new").union(tag(old_docs, "old"))
 
+    def is_empty(v) -> bool:
+        # list-typed fields (contributors) need a length check — pd.isna
+        # on an array is elementwise and `v == 0` never marks them
+        if isinstance(v, (list, np.ndarray)):
+            return len(v) == 0
+        if v is None:
+            return True
+        try:
+            if pd.isna(v):
+                return True
+        except (TypeError, ValueError):
+            pass
+        return v == "" or v == 0
+
     def coalesce(g: pd.DataFrame) -> pd.DataFrame:
         new = g[g["_source"] == "new"]
         old = g[g["_source"] == "old"]
@@ -434,11 +449,18 @@ def refresh_merge(
                     continue
                 old_val = old_row[f]
                 # reference main.py:125: only truthy OLD values preserved
-                if pd.isna(old_val) or not old_val:
+                if is_empty(old_val):
                     continue
                 # reference main.py:157: fresh absent-or-falsy coalesces
-                missing = out[f].isna() | (out[f] == "") | (out[f] == 0)
-                out.loc[missing, f] = old_val
+                missing = out[f].apply(is_empty)
+                # .at per row: a list value assigned through .loc would
+                # broadcast elementwise when lengths collide; ndarray
+                # cells become plain lists (.at unwraps a 1-element
+                # array into a 0-d scalar)
+                if isinstance(old_val, np.ndarray):
+                    old_val = list(old_val)
+                for i in out.index[missing]:
+                    out.at[i, f] = old_val
         return out.drop(columns=["_source"])
 
     return union.groupby(key).map_groups(coalesce, batch_format="pandas")

@@ -271,3 +271,38 @@ def test_recreate_index_empty_source_succeeds(small_index, synth_corpus_table):
 def test_recreate_index_no_live_raises(tmp_path):
     with pytest.raises(RuntimeError):
         mx.recreate_index(str(tmp_path / "nonexistent_root"))
+
+
+def test_refresh_merge_preserves_contributors_list(ray_session):
+    """The reference's GITHUB_FIELDS includes the nested contributors
+    list (main.py:17-25): a refresh whose fresh doc has an empty list
+    coalesces the old one; a non-empty fresh list wins."""
+    import pandas as pd
+
+    old = ray.data.from_items(
+        [
+            {"name": "a", "github_stars": 10,
+             "contributors": [{"login": "x", "commits": 5}]},
+            {"name": "b", "github_stars": 3,
+             "contributors": [{"login": "y", "commits": 2}]},
+        ]
+    )
+    new = ray.data.from_items(
+        [
+            {"name": "a", "github_stars": 0, "contributors": []},
+            {"name": "b", "github_stars": 7,
+             "contributors": [{"login": "z", "commits": 9}]},
+        ]
+    )
+    out = (
+        mx.refresh_merge(old, new)
+        .to_pandas()
+        .set_index("name")
+        .sort_index()
+    )
+    a = list(out.loc["a", "contributors"])
+    b = list(out.loc["b", "contributors"])
+    assert [c["login"] for c in a] == ["x"]  # empty fresh -> old preserved
+    assert [c["login"] for c in b] == ["z"]  # fresh wins
+    assert out.loc["a", "github_stars"] == 10  # scalar coalesce unchanged
+    assert out.loc["b", "github_stars"] == 7
