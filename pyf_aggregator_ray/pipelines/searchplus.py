@@ -442,6 +442,14 @@ def ensure_positions_artifact(
     10^12-doc scale the rows would flow through the identical salted
     shuffle + delta-varint encode as the term postings (the artifact is
     ~the corpus token count in rows).
+
+    STALENESS CONTRACT: the artifact belongs to the index VERSION (it
+    lives in ``vdir`` and rides along on recreate/migrate copies). The
+    default corpus source is ``read_corpus(sf_dir)``, correct only when
+    the version indexes exactly that corpus; for an incrementally-updated
+    version, pass the version's true corpus via ``corpus=`` — a new
+    version dir never inherits the artifact, so the lazy rebuild is the
+    natural hook.
     """
     path = os.path.join(vdir, "positions")
     marker = os.path.join(path, "_SUCCESS")
