@@ -147,7 +147,11 @@ def _rrf_fuse(
     )
 
 
-def hybrid_search(sf_dir: str) -> pa.Table:
+def hybrid_search(sf_dir: str, vector_backend: str = "brute") -> pa.Table:
+    """``vector_backend``: 'brute' (exact — the contract/oracle path) or
+    'lsh' (hyperplane-bucketed candidates — the 10^9-vector scale path;
+    same fusion, only the candidate generator differs; recall floor
+    pinned in tests/test_search_features.py)."""
     from .registry import ensure_index
 
     root = ensure_index(sf_dir)
@@ -188,7 +192,12 @@ def hybrid_search(sf_dir: str) -> pa.Table:
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     vec_ids = sorted({p[2] for p in HYBRID_QUERIES})
-    ann = ann_stage.brute_force_topk(emb, vec_ids, FUSE_DEPTH)
+    if vector_backend == "lsh":
+        # fewer planes -> larger buckets: the candidate pool per probe set
+        # must comfortably exceed FUSE_DEPTH for usable recall
+        ann = ann_stage.lsh_bucketed_topk(emb, vec_ids, FUSE_DEPTH, num_planes=4)
+    else:
+        ann = ann_stage.brute_force_topk(emb, vec_ids, FUSE_DEPTH)
     # map each query's vec_id back to its query_id (vec ids may be shared)
     rows = {
         "query_id": [],

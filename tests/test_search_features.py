@@ -268,3 +268,25 @@ def test_hybrid_rrf_semantics(ray_session):
     assert (got.text_rank == 0).all()
     assert got.doc_id.tolist() == ann.vec_id.tolist()
     assert got.vec_rank.tolist() == ann["rank"].tolist()
+
+
+def test_hybrid_lsh_backend_recall(ray_session):
+    """The LSH vector backend (scale path) fuses with the same RRF rule;
+    per-query overlap@k vs the exact backend stays above the floor the
+    bucketed candidate generator guarantees on this corpus."""
+    from pyf_aggregator_ray.pipelines.hybrid import hybrid_search
+
+    exact = hybrid_search(SF).to_pandas()
+    lsh = hybrid_search(SF, vector_backend="lsh").to_pandas()
+    assert set(lsh.columns) == set(exact.columns)
+    overlaps = []
+    for qid, g in exact.groupby("query_id"):
+        e = set(g.doc_id)
+        l = set(lsh[lsh.query_id == qid].doc_id)
+        overlaps.append(len(e & l) / len(e))
+    assert sum(overlaps) / len(overlaps) >= 0.7, overlaps
+    # text-only rows are identical across backends (vector side absent)
+    et = exact[(exact.vec_rank == 0)][["query_id", "doc_id", "text_rank"]]
+    lt = lsh[(lsh.vec_rank == 0)][["query_id", "doc_id", "text_rank"]]
+    merged = et.merge(lt, on=["query_id", "doc_id"], suffixes=("_e", "_l"))
+    assert (merged.text_rank_e == merged.text_rank_l).all()
