@@ -51,24 +51,25 @@ def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 
 def decode_varint(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
-    """Decode an LEB128 byte stream back to a uint64 array."""
+    """Decode an LEB128 byte stream back to a uint64 array.
+
+    Mirrors the encoder's shape: one vectorized pass per BYTE WIDTH
+    (<=10 for uint64) instead of a scatter — ``np.bitwise_or.at`` is an
+    unbuffered ufunc and dominated hot-term posting decode at the
+    3M-doc scale smoke (~6x slower than this form)."""
     a = np.frombuffer(buf, dtype=np.uint8)
     if len(a) == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (a & _CONT) == 0
-    gid = np.zeros(len(a), dtype=np.int64)
-    gid[1:] = np.cumsum(is_last[:-1])
-    ngroups = int(gid[-1]) + 1
-    # position of each byte within its group
-    group_starts = np.zeros(ngroups, dtype=np.int64)
-    start_positions = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    group_starts[:] = start_positions
-    pos_in_group = np.arange(len(a), dtype=np.int64) - group_starts[gid]
-    contrib = (a & np.uint8(0x7F)).astype(np.uint64) << (
-        np.uint64(7) * pos_in_group.astype(np.uint64)
-    )
-    values = np.zeros(ngroups, dtype=np.uint64)
-    np.bitwise_or.at(values, gid, contrib)
+    if bool(is_last.all()):  # common fast path: every value fits 7 bits
+        return a.astype(np.uint64)
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    widths = np.diff(np.append(starts, len(a)))
+    values = np.zeros(len(starts), dtype=np.uint64)
+    payload = (a & np.uint8(0x7F)).astype(np.uint64)
+    for i in range(int(widths.max())):
+        m = widths > i
+        values[m] |= payload[starts[m] + i] << np.uint64(7 * i)
     return values
 
 
