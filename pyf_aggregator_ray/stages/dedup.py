@@ -132,17 +132,6 @@ def cogroup_attach(
 
 
 @ray.remote
-def _pair_set_task(*tables: pa.Table) -> frozenset:
-    """Build the candidate-pair frozenset inside a Ray task — the set
-    lives in the object store; the driver only ever holds the ref."""
-    s: set[tuple[int, int]] = set()
-    for t in tables:
-        if t.num_rows:
-            s.update(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
-    return frozenset(s)
-
-
-@ray.remote
 def _pair_doc_ids_task(*tables: pa.Table) -> np.ndarray:
     """Distinct doc ids appearing in candidate pairs (doc_a ∪ doc_b),
     assembled in a Ray task — O(candidates), never O(corpus)."""
@@ -190,10 +179,6 @@ def candidate_attr_ref(
 
     small = attr.map_batches(keep, batch_format="pyarrow")
     return _attr_map_task.remote(*small.to_arrow_refs())
-
-
-def pair_set_ref(pairs: ray.data.Dataset) -> "ray.ObjectRef":
-    return _pair_set_task.remote(*pairs.to_arrow_refs())
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -549,18 +534,17 @@ def pair_jaccard_candidates(
 def pair_jaccard(
     shingle_ds: ray.data.Dataset,
     threshold: float,
-    pair_filter: "ray.ObjectRef | None" = None,
     hot_shingles: frozenset[str] | None = None,
 ) -> pa.Table:
-    """Exact Jaccard via distributed inverted pair counting.
+    """Exact Jaccard via distributed inverted pair counting — the
+    EXHAUSTIVE baseline (ngram_jaccard_pairs); the LSH pipeline verifies
+    through :func:`pair_jaccard_candidates` instead.
 
-    groupby(shingle) emits co-occurring (doc_a, doc_b) rows (optionally
-    restricted to a candidate-pair set passed as an object ref and read
-    inside workers), a multi-key groupby counts shared shingles per pair,
-    and |A∪B| = |A|+|B|-shared closes the computation by hash-joining the
-    per-doc set sizes — a Dataset, never a driver dict — onto the pair
-    rows. Only the final thresholded pair table (the query result) is
-    collected.
+    groupby(shingle) emits co-occurring (doc_a, doc_b) rows, a multi-key
+    groupby counts shared shingles per pair, and |A∪B| = |A|+|B|-shared
+    closes the computation by hash-joining the per-doc set sizes — a
+    Dataset, never a driver dict — onto the pair rows. Only the final
+    thresholded pair table (the query result) is collected.
     """
     from ray.data.aggregate import Count
 
@@ -578,12 +562,9 @@ def pair_jaccard(
     sizes = shingle_ds.groupby("doc_id").aggregate(Count(alias_name="sz"))
 
     def pairs_of_shingle(g: pa.Table) -> pa.Table:
-        filt = ray.get(pair_filter) if pair_filter is not None else None
         ds_ = sorted(set(g["doc_id"].to_pylist()))
         a, b = [], []
         for x, y in itertools.combinations(ds_, 2):
-            if filt is not None and (x, y) not in filt:
-                continue
             a.append(x)
             b.append(y)
         return pa.table(
