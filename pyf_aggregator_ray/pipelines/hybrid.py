@@ -323,7 +323,154 @@ ORDER BY query_id, rank
 """
 
 
+HYBRID_LSH_PLANES = 4  # fewer planes -> candidate pool >> FUSE_DEPTH
+
+
+def hybrid_search_lsh(sf_dir: str) -> pa.Table:
+    """The scale-path variant as its own contract entry: LSH-bucketed
+    vector candidates (seeded planes embedded in the SQL oracle, which
+    replicates bucket + hamming-1 probing exactly) fused with the same
+    RRF rule."""
+    return hybrid_search(sf_dir, vector_backend="lsh")
+
+
+def _hybrid_plane_values() -> str:
+    planes = ann_stage.lsh_planes(HYBRID_LSH_PLANES, 64)
+    return ",\n    ".join(
+        f"({p}, {j + 1}, {planes[p, j]!r})"
+        for p in range(HYBRID_LSH_PLANES)
+        for j in range(64)
+    )
+
+
+def hybrid_search_lsh_sql(
+    queries: list[tuple[int, str, int, int]] | None = None,
+    cfg: EngineConfig | None = None,
+) -> str:
+    """Oracle: the brute oracle's text/fusion CTEs with the vector list
+    replaced by the LSH-bucketed ranking (same plane literals and
+    probe rule as the green ``ann_topk_lsh`` oracle)."""
+    queries = queries or HYBRID_QUERIES
+    cfg = cfg or DEFAULT
+    values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(text)}, {qvec}, {k})"
+        for qid, text, qvec, k in queries
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, qvec, k) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS term
+  FROM queries
+),
+tscored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+tlist AS (
+  SELECT query_id, doc_id, trank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS trank
+    FROM tscored
+  ) WHERE trank <= {FUSE_DEPTH}
+),
+planes(p, j, w) AS (VALUES
+    {_hybrid_plane_values()}
+),
+comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dot
+  FROM comp c JOIN planes pl ON pl.j = c.j
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY 1
+),
+qsig AS (
+  SELECT q.query_id, s.bucket AS qb
+  FROM queries q JOIN sigs s ON s.vec_id = q.qvec
+),
+probe AS (
+  SELECT query_id, qb AS pb FROM qsig
+  UNION
+  SELECT query_id, xor(qb, (1::BIGINT << i.i)) AS pb
+  FROM qsig CROSS JOIN (SELECT unnest(range({HYBRID_LSH_PLANES})) AS i) i
+),
+vcand AS (
+  SELECT DISTINCT p.query_id, s.vec_id FROM probe p JOIN sigs s ON s.bucket = p.pb
+),
+vscored AS (
+  SELECT c.query_id, c.vec_id AS doc_id,
+         {sql_round6('list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[])')} AS cosine
+  FROM vcand c
+  JOIN queries qq ON qq.query_id = c.query_id
+  JOIN embeddings qe ON qe.vec_id = qq.qvec
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+vlist AS (
+  SELECT query_id, doc_id, vrank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS vrank
+    FROM vscored
+  ) WHERE vrank <= {FUSE_DEPTH}
+),
+fused AS (
+  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+         coalesce(t.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + t.trank), 0.0)
+           + coalesce(1.0 / ({RRF_K} + v.vrank), 0.0) AS rrf,
+         coalesce(t.trank, 0)::BIGINT AS text_rank,
+         coalesce(v.vrank, 0)::BIGINT AS vec_rank
+  FROM tlist t FULL OUTER JOIN vlist v
+    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT f.query_id, f.doc_id, {sql_round6('f.rrf')} AS score,
+         f.text_rank, f.vec_rank, qq.k,
+         row_number() OVER (
+           PARTITION BY f.query_id
+           ORDER BY {sql_round6('f.rrf')} DESC, f.doc_id
+         ) AS rank
+  FROM fused f JOIN queries qq ON qq.query_id = f.query_id
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score, text_rank, vec_rank
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
     r.register("hybrid_search", hybrid_search, hybrid_search_sql())
+    r.register("hybrid_search_lsh", hybrid_search_lsh, hybrid_search_lsh_sql())

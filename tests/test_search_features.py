@@ -28,6 +28,7 @@ FEATURES = [
     "grouped_search",
     "phrase_search",
     "hybrid_search",
+    "hybrid_search_lsh",
 ]
 
 
