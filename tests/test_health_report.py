@@ -382,3 +382,165 @@ class TestGithubBonusBoundaries:
             assert tf._issue_bonus(issues, stars) == bonus, (issues, stars)
         assert tf._issue_bonus("bad", 100) == 0
         assert tf._issue_bonus(None, 100) == 0
+
+
+class TestFullPipelineScenarios:
+    # reference test_health_score.py:996-1414 — realistic composite docs
+    def test_real_world_package(self):
+        d = {
+            "name": "plone.api",
+            "version": "2.0.3",
+            "upload_timestamp": NOW_TS - 30 * 86400,
+            "docs_url": "https://ploneapi.readthedocs.io/en/latest/",
+            "description": (
+                "plone.api is an elegant and simple API for Plone. "
+                "It provides a high-level API to access Plone functionality. "
+                "The goal is to make working with Plone easier."
+                '<img src="https://example.com/screenshot.png" width="400">'
+            ),
+            "project_urls": {
+                "Documentation": "https://ploneapi.readthedocs.io/",
+                "Source": "https://github.com/plone/plone.api",
+                "Tracker": "https://github.com/plone/plone.api/issues",
+            },
+            "maintainer": "Plone Foundation",
+            "author": "Plone Team",
+            "license": "GPL version 2",
+            "classifiers": [
+                "Development Status :: 5 - Production/Stable",
+                "Framework :: Plone",
+                "Framework :: Plone :: 6.0",
+                "Programming Language :: Python",
+                "Programming Language :: Python :: 3.8",
+                "Programming Language :: Python :: 3.9",
+                "Programming Language :: Python :: 3.10",
+            ],
+        }
+        rep = tf.health_report(d, NOW_TS)
+        bd = rep["health_score_breakdown"]
+        assert bd["recency"]["points"] == 40
+        assert bd["documentation"]["points"] == 30  # 4 + 18 + 3 + 5
+        assert bd["metadata"]["points"] == 30
+        reasons = [b["reason"] for b in bd["documentation"]["bonuses"]]
+        assert "has dedicated docs URL" in reasons
+        assert "has documentation project URL" in reasons
+        assert "has meaningful screenshots" in reasons
+        assert rep["health_score"] == 100
+
+    def test_legacy_package_minimal_metadata(self):
+        d = {
+            "name": "Products.PloneFormGen",
+            "upload_timestamp": NOW_TS - 1500 * 86400,
+            "description": "A form generator for Plone",
+            "author": "Plone Community",
+            "classifiers": ["Framework :: Plone"],
+        }
+        rep = tf.health_report(d, NOW_TS)
+        bd = rep["health_score_breakdown"]
+        assert bd["recency"]["points"] == 5
+        assert bd["documentation"]["points"] == 0
+        assert bd["metadata"]["points"] == 10
+        assert rep["health_score"] == 15
+
+    def test_brand_new_incomplete(self):
+        d = {
+            "name": "experimental.plone.feature",
+            "upload_timestamp": NOW_TS,
+            "description": "Experimental feature",
+            "author": "Developer",
+        }
+        rep = tf.health_report(d, NOW_TS)
+        assert rep["health_score_breakdown"]["recency"]["points"] == 40
+        assert rep["health_score"] == 50
+
+    def test_well_documented_but_old(self):
+        d = {
+            "name": "collective.easyform",
+            "upload_timestamp": NOW_TS - 729 * 86400,
+            "docs_url": "https://collectiveeasyform.readthedocs.io/",
+            "description": (
+                "collective.easyform enables creation of custom forms through-the-web. "
+                "It provides a powerful form builder with validation, custom actions, "
+                "and a variety of field types. Extensive documentation available online."
+                '<img src="https://example.com/screenshot.png" width="400">'
+            ),
+            "project_urls": {
+                "Documentation": "https://collectiveeasyform.readthedocs.io/",
+                "Source": "https://github.com/collective/collective.easyform",
+            },
+            "maintainer": "Collective Contributors",
+            "license": "GPL version 2",
+            "classifiers": [
+                "Framework :: Plone",
+                "Framework :: Plone :: 5.2",
+                "Framework :: Plone :: 6.0",
+                "Programming Language :: Python :: 3",
+            ],
+        }
+        rep = tf.health_report(d, NOW_TS)
+        bd = rep["health_score_breakdown"]
+        assert bd["recency"]["points"] == 20
+        assert bd["documentation"]["points"] == 30
+        assert bd["metadata"]["points"] == 30
+        assert rep["health_score"] == 80
+
+    def test_scoring_boundaries(self):
+        d = {
+            "name": "boundary.test",
+            "upload_timestamp": NOW_TS - 180 * 86400,
+            "description": "A" * 100,
+            "classifiers": ["A", "B"],
+        }
+        rep = tf.health_report(d, NOW_TS)
+        bd = rep["health_score_breakdown"]
+        assert bd["recency"]["points"] == 30
+        assert bd["documentation"]["points"] == 0
+        assert bd["metadata"]["points"] == 0
+        assert rep["health_score"] == 30
+
+    def test_all_edge_cases_simultaneously(self):
+        d = {
+            "name": "edge.case.package",
+            "upload_timestamp": None,
+            "docs_url": "",
+            "description": None,
+            "project_urls": {},
+            "maintainer": "",
+            "author": None,
+            "license": None,
+            "classifiers": [],
+        }
+        rep = tf.health_report(d, NOW_TS)
+        assert rep["health_score"] == 0
+        for factor in rep["health_score_breakdown"].values():
+            assert factor["points"] == 0
+
+    def test_large_data_scores_fast_and_correct(self):
+        import time as _time
+
+        d = {
+            "name": "large.package",
+            "upload_timestamp": NOW_TS,
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 10000
+            + '<img src="https://example.com/screenshot.png" width="400">',
+            "project_urls": {
+                "Documentation": "https://docs.example.com",
+                **{f"URL{i}": f"https://url{i}.com" for i in range(100)},
+            },
+            "maintainer": "Team",
+            "license": "MIT",
+            "classifiers": [f"Classifier :: {i}" for i in range(100)],
+        }
+        start = _time.time()
+        rep = tf.health_report(d, NOW_TS)
+        assert _time.time() - start < 1.0
+        assert rep["health_score"] == 100
+
+    def test_independent_and_idempotent(self):
+        a = {"upload_timestamp": NOW_TS, "author": "x"}
+        b = {"upload_timestamp": NOW_TS - 400 * 86400, "license": "MIT"}
+        ra1, rb = tf.health_report(a, NOW_TS), tf.health_report(b, NOW_TS)
+        ra2 = tf.health_report(a, NOW_TS)
+        assert ra1 == ra2
+        assert ra1["health_score"] != rb["health_score"]
