@@ -63,13 +63,21 @@ def decode_varint(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     is_last = (a & _CONT) == 0
     if bool(is_last.all()):  # common fast path: every value fits 7 bits
         return a.astype(np.uint64)
-    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    widths = np.diff(np.append(starts, len(a)))
-    values = np.zeros(len(starts), dtype=np.uint64)
-    payload = (a & np.uint8(0x7F)).astype(np.uint64)
-    for i in range(int(widths.max())):
-        m = widths > i
-        values[m] |= payload[starts[m] + i] << np.uint64(7 * i)
+    ends = np.flatnonzero(is_last)  # the single full-stream pass
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    widths = ends - starts + 1
+    values = (a[starts] & np.uint8(0x7F)).astype(np.uint64)
+    w = 1
+    active = widths > w
+    while active.any():
+        idx = starts[active] + w
+        values[active] |= (a[idx] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(
+            7 * w
+        )
+        w += 1
+        active = widths > w
     return values
 
 
