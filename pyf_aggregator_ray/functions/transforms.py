@@ -308,6 +308,39 @@ def extract_repo_identifier(url: str | None) -> str | None:
     return f"{owner}/{repo}"
 
 
+def url_matches_github(url: str | None) -> bool:
+    """True when the URL matches ANY of the five GitHub shapes — i.e. the
+    reference's extraction regexes would fire on it, regardless of
+    whether the captured identifier later validates."""
+    if not url:
+        return False
+    u = url.strip()
+    return any(
+        rx.match(u) for rx in (_GH_GIT_HTTPS, _GH_GIT_SSH, _GH_GIT, _GH_SSH, _GH_HTTP)
+    )
+
+
+def resolve_repo_identifier(doc: dict) -> str | None:
+    """Doc-level repo-id resolution with the reference's URL priority
+    (``enrichers/github.py:457-498``): home_page, project_url, url,
+    repository_url, then every project_urls value, in order. The FIRST
+    URL matching a GitHub shape decides the outcome — the reference
+    returns its extraction immediately (a malformed capture surfaces as
+    a problem downstream, it does NOT fall through to later URLs)."""
+    urls = [
+        doc.get("home_page"),
+        doc.get("project_url"),
+        doc.get("url"),
+        doc.get("repository_url"),
+    ] + list((doc.get("project_urls") or {}).values())
+    for url in urls:
+        if not url:
+            continue
+        if url_matches_github(url):
+            return extract_repo_identifier(url)
+    return None
+
+
 def normalize_git_url(url: str | None) -> str | None:
     """git+/git:///ssh git URL -> canonical https URL, '.git' stripped
     (reference ``npm_fetcher.py:580-616``)."""

@@ -87,7 +87,9 @@ def plugin_description_splitter(doc: dict) -> None:
 def plugin_repo_identifier(doc: dict) -> None:
     url = tf.normalize_git_url(doc.get("home_page"))
     doc["repo_url"] = url or ""
-    doc["repo_identifier"] = tf.extract_repo_identifier(doc.get("home_page")) or ""
+    # full reference URL priority: home_page, project_url, url,
+    # repository_url, project_urls values (github.py:457-498)
+    doc["repo_identifier"] = tf.resolve_repo_identifier(doc) or ""
 
 
 def plugin_health_score(doc: dict) -> None:

@@ -914,3 +914,68 @@ class TestCleanDataNpmIndexerRules:
         out = tf.clean_data({"npm_final_score": 0.85, "registry": "npm"})
         assert out["npm_final_score"] == 0.85
         assert out["registry"] == "npm"
+
+
+class TestResolveRepoIdentifier:
+    """Doc-level URL priority (reference github.py:457-498 + its test
+    vectors at tests/test_github_enricher.py:132-205)."""
+
+    def test_priority_order(self):
+        assert (
+            tf.resolve_repo_identifier(
+                {"home_page": "https://github.com/plone/plone.api"}
+            )
+            == "plone/plone.api"
+        )
+        assert (
+            tf.resolve_repo_identifier(
+                {"home_page": None, "project_url": "https://github.com/a/b"}
+            )
+            == "a/b"
+        )
+        assert (
+            tf.resolve_repo_identifier(
+                {"home_page": None, "project_url": None,
+                 "url": "https://github.com/c/d"}
+            )
+            == "c/d"
+        )
+        assert (
+            tf.resolve_repo_identifier(
+                {"repository_url": "git+https://github.com/e/f.git"}
+            )
+            == "e/f"
+        )
+        assert (
+            tf.resolve_repo_identifier(
+                {"project_urls": {"Homepage": "https://github.com/g/h"}}
+            )
+            == "g/h"
+        )
+
+    def test_first_github_url_wins(self):
+        # home_page is GitHub -> decides, even though project_urls also has one
+        doc = {
+            "home_page": "https://github.com/first/repo",
+            "project_urls": {"Source": "https://github.com/second/repo"},
+        }
+        assert tf.resolve_repo_identifier(doc) == "first/repo"
+
+    def test_malformed_first_match_does_not_fall_through(self):
+        # the first pattern-matching URL captures an invalid identifier;
+        # the reference returns it (malformed problem downstream) rather
+        # than trying later URLs — folded here to None, NOT second/repo
+        doc = {
+            "home_page": "https://github.com/topics/python",  # reserved
+            "project_urls": {"Source": "https://github.com/second/repo"},
+        }
+        assert tf.resolve_repo_identifier(doc) is None
+
+    def test_non_github_urls_skipped(self):
+        doc = {
+            "home_page": "https://readthedocs.io/plone.api",
+            "project_urls": {"Source": "https://github.com/real/repo"},
+        }
+        assert tf.resolve_repo_identifier(doc) == "real/repo"
+        assert tf.resolve_repo_identifier({"home_page": "nope"}) is None
+        assert tf.resolve_repo_identifier({}) is None
