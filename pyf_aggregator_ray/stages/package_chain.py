@@ -96,6 +96,35 @@ def plugin_health_score(doc: dict) -> None:
     doc.update(tf.health_score(doc, NOW_TS))
 
 
+def _load_curated() -> dict:
+    import os
+
+    import yaml
+
+    path = os.path.join(os.path.dirname(__file__), "..", "state", "curated.yaml")
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+_CURATED: dict | None = None
+
+
+def plugin_curated(doc: dict) -> None:
+    """M12: attach the hand-curated annotation for the package
+    (reference ``plugins/curated.py:13-17``: a name-keyed YAML map;
+    absent names are uncurated). The map loads once per worker process —
+    the broadcast-small-side shape. The reference leaves the field
+    absent on uncurated docs; rows here flow back into Arrow, so the
+    annotation flattens to schema-stable columns with 0/"" as the
+    uncurated values (a curated score is always >= 1)."""
+    global _CURATED
+    if _CURATED is None:
+        _CURATED = _load_curated()
+    curated = _CURATED.get(doc.get("name")) or {}
+    doc["curated_score"] = int(curated.get("score") or 0)
+    doc["curated_domain"] = str(curated.get("domain") or "")
+
+
 DEFAULT_CHAIN: list[tuple[str, Plugin]] = [
     ("clean", plugin_clean),
     ("version_slicer", plugin_version_slicer),
@@ -103,6 +132,7 @@ DEFAULT_CHAIN: list[tuple[str, Plugin]] = [
     ("renderer", plugin_renderer),
     ("description_splitter", plugin_description_splitter),
     ("repo_identifier", plugin_repo_identifier),
+    ("curated", plugin_curated),
     ("health_score", plugin_health_score),
 ]
 

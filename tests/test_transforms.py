@@ -979,3 +979,23 @@ class TestResolveRepoIdentifier:
         assert tf.resolve_repo_identifier(doc) == "real/repo"
         assert tf.resolve_repo_identifier({"home_page": "nope"}) is None
         assert tf.resolve_repo_identifier({}) is None
+
+
+class TestCuratedPlugin:
+    """M12 chain surface (reference plugins/curated.py:13-17): name-keyed
+    YAML annotations attach as doc['curated']; absent names untouched."""
+
+    def test_attach_and_absent(self):
+        from pyf_aggregator_ray.stages.package_chain import plugin_curated
+
+        d = {"name": "plone.api"}
+        plugin_curated(d)
+        assert (d["curated_score"], d["curated_domain"]) == (1, "plone")
+
+        scoped = {"name": "@plone/volto"}
+        plugin_curated(scoped)
+        assert scoped["curated_score"] == 2
+
+        other = {"name": "not-in-the-map"}
+        plugin_curated(other)
+        assert (other["curated_score"], other["curated_domain"]) == (0, "")
