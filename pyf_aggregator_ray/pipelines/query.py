@@ -172,6 +172,7 @@ class IndexReader:
         k: int | None = None,
         doc_weights: dict[int, float] | None = None,
         allowed_ids: np.ndarray | None = None,
+        excluded_ids: np.ndarray | None = None,
     ) -> list[tuple[int, int, float]]:
         """Exhaustive vectorized BM25 -> [(rank, doc_id, score)].
 
@@ -179,7 +180,8 @@ class IndexReader:
         restricts the candidate set BEFORE ranking — the ``filter_by``
         semantics of the reference's search engine (equality filters
         applied to matches, collection-global BM25 stats; reference
-        ``db.py:273-277``).
+        ``db.py:273-277``). ``excluded_ids`` (sorted int64) removes docs
+        BEFORE ranking — the engine's ``-term`` negation operator.
         """
         k = k if k is not None else self.cfg.default_k
         uniq, scores = self.accumulate(query, doc_weights)
@@ -191,6 +193,15 @@ class IndexReader:
                 allowed_ids[np.minimum(pos, len(allowed_ids) - 1)] == uniq
             )
             uniq, scores = uniq[ok], scores[ok]
+        if excluded_ids is not None and len(uniq) and len(excluded_ids):
+            # the `-term` negation operator: drop excluded docs BEFORE
+            # ranking/truncation (uniq is sorted by construction of
+            # np.unique; excluded_ids must be sorted)
+            pos = np.searchsorted(excluded_ids, uniq)
+            hit = (pos < len(excluded_ids)) & (
+                excluded_ids[np.minimum(pos, len(excluded_ids) - 1)] == uniq
+            )
+            uniq, scores = uniq[~hit], scores[~hit]
         if len(uniq) == 0:
             return []
         if k < len(uniq):

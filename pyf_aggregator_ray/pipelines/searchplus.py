@@ -690,9 +690,189 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# negation operator (`-term` exclusions)
+# ---------------------------------------------------------------------------
+
+# (query_id, query, k) — plain exclusion, hot positive + exclusion,
+# absent-term exclusion (no-op), self-exclusion (kills every hit), hot
+# exclusion pruning most of the corpus.
+NEGATION_QUERIES: list[tuple[int, str, int]] = [
+    (0, "merge sort -python", 10),
+    (1, "the -merge", 10),
+    (2, "customer value -nonexistentterm42", 10),
+    (3, "merge -merge", 5),
+    (4, "spark query -the", 10),
+]
+
+
+def parse_negation(query: str) -> tuple[str, list[str]]:
+    """Split a query into (positive query, excluded terms): whitespace
+    words with a ``-`` prefix are exclusions (the search engine's
+    negation operator); everything else rejoins as the scored query.
+    Used by BOTH the scorer stage and the SQL-oracle builder so the two
+    sides cannot drift."""
+    pos, neg = [], []
+    for w in query.split():
+        if w.startswith("-") and len(w) > 1:
+            neg.append(w[1:].lower())
+        else:
+            pos.append(w)
+    return " ".join(pos), neg
+
+
+class NegationScorerStage:
+    """Actor-pool stage: (query_id, query, k) -> top-k rows where no hit
+    contains any excluded term. Excluded doc-id sets come from the SAME
+    cached posting lookups the scorer uses (one pushdown read per term,
+    amortized per actor); exclusion applies before ranking/truncation."""
+
+    def __init__(self, index_path: str, cfg: EngineConfig | None = None):
+        self.reader = q.IndexReader(index_path, cfg)
+
+    def _excluded_ids(self, neg_terms: list[str]) -> np.ndarray:
+        if not neg_terms:
+            return np.empty(0, dtype=np.int64)
+        hits = self.reader.lookup(neg_terms)
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate([ids for ids, _, _ in hits.values()]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, query, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            pos_q, neg = parse_negation(query)
+            excl = self._excluded_ids(neg)
+            for rank, doc_id, score in self.reader.score(
+                pos_q, k, excluded_ids=excl
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(round6(np.array(scores, dtype=np.float64))),
+            }
+        )
+
+
+def negation_search(sf_dir: str) -> pa.Table:
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([p[0] for p in NEGATION_QUERIES], pa.int64()),
+                "query": pa.array([p[1] for p in NEGATION_QUERIES], pa.string()),
+                "k": pa.array([p[2] for p in NEGATION_QUERIES], pa.int64()),
+            }
+        )
+    )
+    out = (
+        qds.map_batches(
+            NegationScorerStage,
+            fn_constructor_args=(root,),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def negation_search_sql(
+    queries: list[tuple[int, str, int]] | None = None,
+    cfg: EngineConfig | None = None,
+) -> str:
+    """Oracle: BM25 over the positive terms, anti-joined against docs
+    containing any excluded term (exclusion before ranking). The query
+    strings are parsed by the SAME helper the engine uses."""
+    queries = queries or NEGATION_QUERIES
+    cfg = cfg or DEFAULT
+    pos_rows, neg_rows = [], []
+    for qid, query, k in queries:
+        pos_q, neg = parse_negation(query)
+        pos_rows.append((qid, pos_q, k))
+        for t in neg:
+            neg_rows.append((qid, t))
+    values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(text)}, {k})" for qid, text, k in pos_rows
+    )
+    neg_values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(t)})" for qid, t in neg_rows
+    ) or "(NULL, NULL)"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k) AS (VALUES
+    {values}
+),
+qneg(query_id, term) AS (VALUES
+    {neg_values}
+),
+qterms AS (
+  SELECT DISTINCT query_id, k,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS term
+  FROM queries
+),
+scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1, 2, 3
+),
+surviving AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf f
+    JOIN qneg n ON n.query_id = s.query_id AND n.term = f.term
+    WHERE f.doc_id = s.doc_id
+  )
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM surviving
+)
+SELECT query_id, rnk AS rank, doc_id, {sql_round6('score')} AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
     r.register("filtered_search", filtered_search, filtered_search_sql())
     r.register("grouped_search", grouped_search, grouped_search_sql())
     r.register("phrase_search", phrase_search, phrase_search_sql())
+    r.register("negation_search", negation_search, negation_search_sql())

@@ -29,6 +29,7 @@ FEATURES = [
     "phrase_search",
     "hybrid_search",
     "hybrid_search_lsh",
+    "negation_search",
 ]
 
 
@@ -291,3 +292,37 @@ def test_hybrid_lsh_backend_recall(ray_session):
     lt = lsh[(lsh.vec_rank == 0)][["query_id", "doc_id", "text_rank"]]
     merged = et.merge(lt, on=["query_id", "doc_id"], suffixes=("_e", "_l"))
     assert (merged.text_rank_e == merged.text_rank_l).all()
+
+
+def test_negation_semantics(ray_session):
+    """`-term` operator invariants: no surviving hit contains an
+    excluded term, an absent exclusion is a no-op vs plain BM25, and
+    self-exclusion yields zero hits."""
+    import numpy as np
+
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+    from pyf_aggregator_ray.pipelines.registry import ensure_index
+    from pyf_aggregator_ray.pipelines.searchplus import (
+        NegationScorerStage,
+        parse_negation,
+    )
+
+    assert parse_negation("merge sort -python") == ("merge sort", ["python"])
+    assert parse_negation("-a b -c") == ("b", ["a", "c"])
+    assert parse_negation("plain") == ("plain", [])
+
+    root = ensure_index(SF)
+    stage = NegationScorerStage(root)
+    reader = IndexReader(root)
+
+    # every hit of "merge sort -python" is outside python's posting list
+    excl = stage._excluded_ids(["python"])
+    got = reader.score("merge sort", 10, excluded_ids=excl)
+    assert all(d not in set(excl.tolist()) for _, d, _ in got)
+    # absent exclusion is a no-op
+    none_excl = stage._excluded_ids(["nonexistentterm42"])
+    assert reader.score("customer value", 10, excluded_ids=none_excl) == \
+        reader.score("customer value", 10)
+    # self-exclusion kills everything
+    self_excl = stage._excluded_ids(["merge"])
+    assert reader.score("merge", 5, excluded_ids=self_excl) == []
