@@ -558,6 +558,125 @@ def typo_search2(sf_dir: str) -> pa.Table:
     return _typo_topk(sf_dir, TYPO2_QUERIES, max_dist=2)
 
 
+# (query_id, substring, k) — mid-word fragment, fragment matching many
+# terms, absent fragment, single hot letter.
+INFIX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "erge", 10),
+    (1, "usto", 10),
+    (2, "zzzqx", 5),
+    (3, "ind", 10),
+]
+
+
+def infix_search(sf_dir: str) -> pa.Table:
+    """Infix search (the reference engine's within-word matching,
+    Typesense ``infix=always``): a query fragment expands to every
+    dictionary term CONTAINING it, and the expanded distinct term set
+    scores through the normal BM25 scorer actors.
+
+    Expansion is a distributed vectorized scan of the term dictionary
+    (``pc.match_substring`` per block over the column-pruned postings
+    read) — substring containment cannot use row-group statistics, so at
+    a 10^9-term dictionary this becomes a character-n-gram index over
+    terms (same artifact pattern as the SymSpell deletion index); the
+    per-block vectorized scan is the documented interim."""
+    import pyarrow.compute as pc
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    dictionary = ray.data.read_parquet(
+        os.path.join(vdir, "postings"), columns=["term"]
+    )
+    frags = [(qid, frag.lower()) for qid, frag, _k in INFIX_QUERIES]
+
+    def match(t: pa.Table) -> pa.Table:
+        qids, terms = [], []
+        for qid, frag in frags:
+            m = pc.match_substring(t["term"], frag)
+            for term in t.filter(m)["term"].to_pylist():
+                qids.append(qid)
+                terms.append(term)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+            }
+        )
+
+    survivors = dictionary.map_batches(match, batch_format="pyarrow").take_all()
+    matches: dict[int, set[str]] = {qid: set() for qid, _f, _k in INFIX_QUERIES}
+    for r in survivors:
+        matches[int(r["query_id"])].add(r["term"])
+
+    expanded = [
+        (qid, " ".join(sorted(matches[qid])), k)
+        for qid, _frag, k in INFIX_QUERIES
+        if matches[qid]
+    ]
+    if not expanded:
+        return pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
+    ds = q.run_query_set(root, queries=expanded)
+    out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def infix_search_sql(
+    queries: list[tuple[int, str, int]] | None = None,
+) -> str:
+    """Oracle: dictionary terms containing the fragment (LIKE), scored
+    as the OR-union BM25 of the expanded term set — same CTE shape as
+    the typo oracle with the expansion predicate swapped."""
+    cfg = DEFAULT
+    values = ",\n    ".join(
+        f"({qid}, '{frag}', {k})" for qid, frag, k in (queries or INFIX_QUERIES)
+    )
+    return f"""
+WITH corpus AS ({q.CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, frag, k) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT qq.query_id, qq.k, d.term
+  FROM queries qq JOIN df d ON d.term LIKE '%' || qq.frag || '%'
+),
+scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, {sql_round6('score')} AS score
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
 def typo_search_sql(
     queries: list[tuple[int, str, int]] | None = None, max_dist: int = 1
 ) -> str:
@@ -770,6 +889,7 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "prefix_search": (prefix_search, prefix_search_sql()),
     "typo_search": (typo_search, typo_search_sql()),
     "typo_search2": (typo_search2, typo_search_sql(TYPO2_QUERIES, max_dist=2)),
+    "infix_search": (infix_search, infix_search_sql()),
     "index_term_stats": (index_term_stats, TERM_STATS_SQL),
     "corpus_derivation": (corpus_derivation, CORPUS_DERIVATION_SQL),
     "doc_sha256": (doc_sha256, DOC_SHA256_SQL),

@@ -30,6 +30,7 @@ FEATURES = [
     "hybrid_search",
     "hybrid_search_lsh",
     "negation_search",
+    "infix_search",
 ]
 
 
