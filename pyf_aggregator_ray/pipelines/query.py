@@ -99,10 +99,25 @@ class IndexReader:
             counts, ids_all, tfs_all, dls_all = decode_posting_batch(tbl)
             ends = np.cumsum(counts)
             starts = ends - counts
+            # SHARD-TOLERANT: a term may span several rows (a build that
+            # caps hot-term row size emits disjoint shards; today's
+            # merge emits one row, but a reader that silently kept only
+            # the last row would drop postings) — same-term rows
+            # concatenate, df sums
+            by_term: dict[str, list[int]] = {}
             for i, term in enumerate(tbl["term"].to_pylist()):
-                s, e = starts[i], ends[i]
-                ids, tfs, dls = ids_all[s:e], tfs_all[s:e], dls_all[s:e]
-                df = int(counts[i])
+                by_term.setdefault(term, []).append(i)
+            for term, idxs in by_term.items():
+                if len(idxs) == 1:
+                    i = idxs[0]
+                    s, e = starts[i], ends[i]
+                    ids, tfs, dls = ids_all[s:e], tfs_all[s:e], dls_all[s:e]
+                    df = int(counts[i])
+                else:
+                    ids = np.concatenate([ids_all[starts[i]:ends[i]] for i in idxs])
+                    tfs = np.concatenate([tfs_all[starts[i]:ends[i]] for i in idxs])
+                    dls = np.concatenate([dls_all[starts[i]:ends[i]] for i in idxs])
+                    df = int(sum(counts[i] for i in idxs))
                 self._cache[term] = (
                     ids,
                     self._contribution(ids, tfs, dls, df),

@@ -121,3 +121,58 @@ def test_index_reader_missing_root_raises(tmp_path):
 
     with pytest.raises((RuntimeError, FileNotFoundError, TypeError)):
         IndexReader(str(tmp_path / "no_such_index"))
+
+
+def test_reader_concatenates_sharded_terms(tmp_path, ray_session):
+    """A term spanning multiple posting rows (disjoint doc-id shards, the
+    shape a hot-row size cap would emit) must score identically to the
+    single-row encoding — the reader concatenates, never overwrites."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyf_aggregator_ray.functions.varint import encode_posting_list
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+    from pyf_aggregator_ray.state import manifest as mf
+
+    def posting_row(term, ids, tfs, dls):
+        g, t, d = encode_posting_list(
+            np.array(ids), np.array(tfs), np.array(dls)
+        )
+        return {
+            "term": term, "df": len(ids), "cf": int(sum(tfs)),
+            "first_doc": min(ids), "last_doc": max(ids),
+            "gaps": g, "tfs": t, "dls": d,
+        }
+
+    def build(root, rows, num_docs, total_tokens):
+        vdir = mf.version_dir(root, 1)
+        os.makedirs(os.path.join(vdir, "postings"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(vdir, "postings", "p.parquet"),
+        )
+        mf.write_stats(vdir, {
+            "num_docs": num_docs, "avgdl": total_tokens / num_docs,
+            "vocab_size": 1, "total_postings": num_docs,
+            "total_tokens": total_tokens, "k1": 1.2, "b": 0.75,
+        })
+        mf.write_manifest(vdir, {"version": 1})
+        mf.switch_alias(root, 1)
+
+    ids = list(range(10)); tfs = [i + 1 for i in range(10)]; dls = [20] * 10
+    single = str(tmp_path / "single")
+    build(single, [posting_row("zzterm", ids, tfs, dls)], 10, 200)
+    sharded = str(tmp_path / "sharded")
+    build(
+        sharded,
+        [posting_row("zzterm", ids[:4], tfs[:4], dls[:4]),
+         posting_row("zzterm", ids[4:], tfs[4:], dls[4:])],
+        10, 200,
+    )
+    got_single = IndexReader(single).score("zzterm", 10)
+    got_sharded = IndexReader(sharded).score("zzterm", 10)
+    assert got_single == got_sharded
+    assert len(got_single) == 10
