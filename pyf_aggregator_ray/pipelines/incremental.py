@@ -108,8 +108,24 @@ def incremental_update(
     delta_corpus: ray.data.Dataset,
     cfg: EngineConfig | None = None,
     num_parts: int | None = None,
+    mode: str = "merge",
 ) -> dict:
-    """Merge new corpus rows into the live index as version N+1."""
+    """Merge new corpus rows into the live index as version N+1.
+
+    ``mode="merge"`` (default) re-merges every term's posting rows —
+    byte-identical to a from-scratch build over the union corpus, but
+    each increment rewrites the whole postings artifact (O(index)).
+
+    ``mode="append"`` is the O(delta) segment path for frequent small
+    increments at large index sizes: the old posting FILES carry over by
+    hardlink (no data pass), and the delta's term-sorted shard rows land
+    alongside as extra rows per term. ``IndexReader`` concatenates
+    same-term rows (shard tolerance), the facets / sorted-retrieval /
+    tombstone paths are row-independent already; the trade is that
+    per-row dictionary stats (``index_term_stats``, prefix df listings)
+    see split dfs until a merge-mode increment or ``recreate_index``
+    compacts the segments. Scoring is unaffected: BM25 contributions are
+    computed at read time from summed df and the version's stats."""
     cfg = cfg or DEFAULT
     t0 = time.perf_counter()
     live = mf.read_alias(index_root)
@@ -166,28 +182,55 @@ def incremental_update(
         .drop_columns(["salt"])
     )
 
-    # existing posting rows are valid single shards; union + same merge
-    old_postings = ray.data.read_parquet(os.path.join(live, "postings"))
-    if num_parts is None:
-        num_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    merged = _merge_stage(old_postings.union(delta_shards), merge_parts=num_parts)
-    merged.sort("term").write_parquet(
-        os.path.join(vdir, "postings"),
-        min_rows_per_file=cfg.postings_rows_per_file,
-    )
+    if mode == "append":
+        # O(delta): hardlink the old posting files into the new version
+        # (copy fallback across filesystems), then write only the delta's
+        # term-sorted shard rows alongside (Ray writes uniquely-named
+        # files into the existing dir)
+        import shutil as _sh
+
+        dst = os.path.join(vdir, "postings")
+        os.makedirs(dst, exist_ok=True)
+        src_dir = os.path.join(live, "postings")
+        for name in os.listdir(src_dir):
+            s, d = os.path.join(src_dir, name), os.path.join(dst, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                _sh.copy2(s, d)
+        delta_shards.sort("term").write_parquet(dst)
+    else:
+        # existing posting rows are valid single shards; union + same merge
+        old_postings = ray.data.read_parquet(os.path.join(live, "postings"))
+        if num_parts is None:
+            num_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        merged = _merge_stage(
+            old_postings.union(delta_shards), merge_parts=num_parts
+        )
+        merged.sort("term").write_parquet(
+            os.path.join(vdir, "postings"),
+            min_rows_per_file=cfg.postings_rows_per_file,
+        )
 
     # ---- stats + manifest + verified atomic cutover ----
+    # vocab counts DISTINCT terms (append mode keeps several rows per
+    # term); df/cf sums are row-additive in both modes
+    vocab = (
+        ray.data.read_parquet(os.path.join(vdir, "postings"), columns=["term"])
+        .groupby("term")
+        .count()
+        .count()
+    )
     pagg = ray.data.read_parquet(
         os.path.join(vdir, "postings"), columns=["df", "cf"]
     ).aggregate(
-        Count(alias_name="vocab"),
         Sum("df", alias_name="total_postings"),
         Sum("cf", alias_name="total_tokens"),
     )
     stats = {
         "num_docs": n_docs,
         "avgdl": avgdl,
-        "vocab_size": int(pagg["vocab"] or 0),
+        "vocab_size": int(vocab or 0),
         "total_postings": int(pagg["total_postings"] or 0),
         "total_tokens": int(pagg["total_tokens"] or 0),
         "k1": cfg.k1,
@@ -198,6 +241,7 @@ def incremental_update(
         "version": version,
         "parent_version": mf.read_manifest(live).get("version") if mf.read_manifest(live) else None,
         "kind": "incremental",
+        "mode": mode,
         "stats": stats,
         "metrics": {
             "total_sec": time.perf_counter() - t0,

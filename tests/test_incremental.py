@@ -175,3 +175,50 @@ def test_parse_feed_entry_reference_vectors():
         )["package_id"]
         == "plone.api"
     )
+
+
+def test_append_mode_matches_merge_mode(tmp_path, synth_corpus_table, ray_session):
+    """mode="append" (O(delta) segment path) must score IDENTICALLY to
+    mode="merge": the reader concatenates same-term shard rows, df sums,
+    and the version stats agree. Old posting files carry over by
+    hardlink — untouched bytes."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+    from pyf_aggregator_ray.pipelines.incremental import incremental_update
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+    from pyf_aggregator_ray.state import manifest as mf
+
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    half = synth_corpus_table.slice(0, 200)
+    delta = synth_corpus_table.slice(200)
+
+    roots = {}
+    for m in ("merge", "append"):
+        root = str(tmp_path / m)
+        build_index("", root, cfg, corpus=ray.data.from_arrow(half), num_parts=4)
+        incremental_update(
+            root, ray.data.from_arrow(delta), cfg, num_parts=4, mode=m
+        )
+        roots[m] = root
+
+    sm = mf.read_stats(mf.read_alias(roots["merge"]))
+    sa = mf.read_stats(mf.read_alias(roots["append"]))
+    assert sm == sa
+
+    rm = IndexReader(roots["merge"], cfg)
+    ra = IndexReader(roots["append"], cfg)
+    for query in ("import ident1", "customer value", "the merge sort"):
+        assert rm.score(query, 20) == ra.score(query, 20), query
+
+    # append really skipped the rewrite: v1's posting files appear in v2
+    v1 = os.path.join(roots["append"], "v1", "postings")
+    v2 = os.path.join(roots["append"], "v2", "postings")
+    carried = set(os.listdir(v1)) & set(os.listdir(v2))
+    assert carried == set(os.listdir(v1))
+    assert len(os.listdir(v2)) > len(os.listdir(v1))  # plus delta files
