@@ -48,6 +48,23 @@ from .build_index import _merge_stage, _tokens_ds
 _FEED_LINK_RE = re.compile(r"/project/([^/]+)/?(?:([^/]+)/?)?$")
 
 
+def _link_dir(src_dir: str, dst_dir: str) -> None:
+    """Hardlink every file of ``src_dir`` into ``dst_dir`` (copy fallback
+    across filesystems) — the O(1)-per-file carry-over used by
+    append-mode increments."""
+    import shutil as _sh
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        s, d = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+        if os.path.isdir(s):
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            _sh.copy2(s, d)
+
+
 def parse_feed_entry(entry: dict, filter_name: str | None = None) -> dict | None:
     """S3: one RSS feed entry -> ``{package_id, release_id, timestamp,
     link, description}`` or None (reference ``fetcher.py:669-736``).
@@ -148,7 +165,13 @@ def incremental_update(
     live_ids = ray.data.read_parquet(
         os.path.join(live, "docs"), columns=["doc_id"]
     )
-    overlap_ref = idsets.id_array_ref(idsets.semi_join_ids(delta_ids, live_ids))
+    # the delta is the bounded side of an increment by definition:
+    # broadcast its id array and SCAN the live ids (no 10^12-group
+    # shuffle; one vectorized isin pass over the id column)
+    delta_ids_ref = idsets.id_array_ref(delta_ids)
+    overlap_ref = idsets.id_array_ref(
+        idsets.overlap_with_broadcast(delta_ids_ref, live_ids)
+    )
     fresh = idsets.filter_out_ids(delta_corpus, overlap_ref)
     # reference overflow detection (fetcher.py:425-471): a NON-EMPTY
     # window that dropped NOTHING against the watermark likely overflowed
@@ -158,14 +181,32 @@ def incremental_update(
     n_delta = delta_corpus.count()
 
     # ---- docs meta: old partitions + delta rows -> v_{N+1}/docs ----
-    old_docs = ray.data.read_parquet(os.path.join(live, "docs"))
     new_meta = fresh.map_batches(doc_meta_batch, batch_format="pyarrow")
-    old_docs.union(new_meta).write_parquet(os.path.join(vdir, "docs"))
-
-    docs_meta = ray.data.read_parquet(os.path.join(vdir, "docs"), columns=["dl"])
-    agg = docs_meta.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sum_dl"))
-    n_docs = int(agg["n"])
-    avgdl = (int(agg["sum_dl"] or 0) / n_docs) if n_docs else 0.0
+    if mode == "append":
+        # O(delta): old doc files carry over by hardlink; only the delta
+        # meta is written; totals derive from the PARENT's exact stats
+        # (total_tokens == sum(dl), both integers) + the delta aggregate
+        new_meta = new_meta.materialize()
+        _link_dir(os.path.join(live, "docs"), os.path.join(vdir, "docs"))
+        new_meta.write_parquet(os.path.join(vdir, "docs"))
+        dagg = new_meta.aggregate(
+            Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+        )
+        old_stats = mf.read_stats(live)
+        n_docs = int(old_stats["num_docs"]) + int(dagg["n"] or 0)
+        sum_dl = int(old_stats["total_tokens"]) + int(dagg["sum_dl"] or 0)
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    else:
+        old_docs = ray.data.read_parquet(os.path.join(live, "docs"))
+        old_docs.union(new_meta).write_parquet(os.path.join(vdir, "docs"))
+        docs_meta = ray.data.read_parquet(
+            os.path.join(vdir, "docs"), columns=["dl"]
+        )
+        agg = docs_meta.aggregate(
+            Count(alias_name="n"), Sum("dl", alias_name="sum_dl")
+        )
+        n_docs = int(agg["n"])
+        avgdl = (int(agg["sum_dl"] or 0) / n_docs) if n_docs else 0.0
 
     # ---- delta shards: range salt keeps them disjoint and mergeable ----
     def salt_delta(t: pa.Table) -> pa.Table:
@@ -183,21 +224,11 @@ def incremental_update(
     )
 
     if mode == "append":
-        # O(delta): hardlink the old posting files into the new version
-        # (copy fallback across filesystems), then write only the delta's
-        # term-sorted shard rows alongside (Ray writes uniquely-named
-        # files into the existing dir)
-        import shutil as _sh
-
+        # O(delta): hardlink the old posting files into the new version,
+        # then write only the delta's term-sorted shard rows alongside
+        # (Ray writes uniquely-named files into the existing dir)
         dst = os.path.join(vdir, "postings")
-        os.makedirs(dst, exist_ok=True)
-        src_dir = os.path.join(live, "postings")
-        for name in os.listdir(src_dir):
-            s, d = os.path.join(src_dir, name), os.path.join(dst, name)
-            try:
-                os.link(s, d)
-            except OSError:
-                _sh.copy2(s, d)
+        _link_dir(os.path.join(live, "postings"), dst)
         delta_shards.sort("term").write_parquet(dst)
     else:
         # existing posting rows are valid single shards; union + same merge

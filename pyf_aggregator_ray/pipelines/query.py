@@ -117,6 +117,11 @@ class IndexReader:
                     ids = np.concatenate([ids_all[starts[i]:ends[i]] for i in idxs])
                     tfs = np.concatenate([tfs_all[starts[i]:ends[i]] for i in idxs])
                     dls = np.concatenate([dls_all[starts[i]:ends[i]] for i in idxs])
+                    # restore the sorted-posting-list invariant (shards
+                    # may decode in any file order; accumulate's dense
+                    # sizing and MaxScore both read ids[-1] as the max)
+                    order = np.argsort(ids, kind="stable")
+                    ids, tfs, dls = ids[order], tfs[order], dls[order]
                     df = int(sum(counts[i] for i in idxs))
                 self._cache[term] = (
                     ids,

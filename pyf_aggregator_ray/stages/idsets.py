@@ -90,6 +90,28 @@ def id_array_ref(ids: ray.data.Dataset) -> "ray.ObjectRef":
     return _id_array_task.remote(*ids.to_arrow_refs())
 
 
+def overlap_with_broadcast(
+    small_ref: "ray.ObjectRef", big: ray.data.Dataset, col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Ids of ``big`` present in the broadcast SMALL id array — the
+    semi-join shape when one side is bounded (an increment's delta):
+    one vectorized ``np.isin`` scan of the big id column, NO shuffle.
+    ``semi_join_ids``'s tag-union groupby hash-partitions every big-side
+    id (3M groups took ~60 s where this scan takes ~2 s); use the
+    shuffle form only when both sides are unbounded."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64())])
+        if t.num_rows == 0 or col not in t.column_names:
+            return out_schema.empty_table()
+        small = ray.get(small_ref)
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = vals[np.isin(vals, small)]
+        return pa.table({"doc_id": pa.array(hit, type=pa.int64())})
+
+    return big.map_batches(f, batch_format="pyarrow")
+
+
 def filter_out_ids(
     ds: ray.data.Dataset, ids_ref: "ray.ObjectRef", col: str = "doc_id"
 ) -> ray.data.Dataset:
