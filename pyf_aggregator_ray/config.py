@@ -37,6 +37,12 @@ class EngineConfig:
     tokenize_concurrency: int | tuple[int, int] | None = None
     # Target rows per output parquet file for postings segments.
     postings_rows_per_file: int = 200_000
+    # Append-mode compaction policy: when the live version's max posting
+    # rows per term reaches this bound, the next mode="append" increment
+    # escalates to a merge-mode compaction (bounds the reader's per-term
+    # shard-concat depth — K appends x hot term would otherwise pay a
+    # K-way concat+sort per lookup forever).
+    append_max_term_shards: int = 8
 
     # ---- query engine ----
     default_k: int = 10

@@ -236,8 +236,16 @@ def build_index(
         # doc metadata (incl. per-row sha256 invariant) is side-written
         # by the tokenize stage during the ONE corpus pass below — the
         # second full corpus read+tokenize of the two-pass layout is the
-        # single largest avoidable cost at the 10^12-file design point
-        os.makedirs(os.path.join(vdir, "docs"), exist_ok=True)
+        # single largest avoidable cost at the 10^12-file design point.
+        # The docs dir must START EMPTY (TokenizeAndMetaStage's contract):
+        # stale meta files from an abandoned attempt with different batch
+        # boundaries would silently duplicate doc rows.
+        docs_dir = os.path.join(vdir, "docs")
+        if os.path.isdir(docs_dir):
+            import shutil
+
+            shutil.rmtree(docs_dir)
+        os.makedirs(docs_dir)
         metrics["docs_pass_sec"] = 0.0
         n_docs, avgdl = 0, 0.0  # computed from the written docs below
     else:
@@ -375,6 +383,10 @@ def build_index(
 
     manifest = {
         "version": version,
+        # the streaming merge emits exactly one posting row per term
+        # (merge_partition's invariant), so a full build resets the
+        # append-compaction signal
+        "max_term_shards": 1,
         "sf_dir": sf_dir,
         "input_files": (
             [os.path.join(sf_dir, "documents.parquet")] if sf_dir else []

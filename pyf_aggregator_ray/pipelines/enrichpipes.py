@@ -35,6 +35,63 @@ FROM corpus GROUP BY lang ORDER BY lang
 """
 
 
+def enrich_stats(sf_dir: str):
+    """Both enrichment stats families (reference J1/J2 key derivations)
+    in ONE entry: per-repo and per-lang (file_count, total_chars),
+    discriminated by ``entity`` — each side is the partial-per-batch +
+    small-groupby aggregate of ``stages/enrich.py``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    corpus = read_corpus(sf_dir)
+
+    def stats_by(key: str) -> pd.DataFrame:
+        def partial(t):
+            import pyarrow as pa
+
+            chars = pc.cast(pc.utf8_length(t["content"]), pa.int64())
+            tt = pa.table({key: t[key], "chars": chars})
+            out = tt.group_by(key).aggregate(
+                [("chars", "count"), ("chars", "sum")]
+            )
+            return out.rename_columns([key, "fc_part", "chars_part"])
+
+        from ray.data.aggregate import Sum
+
+        return (
+            corpus.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(
+                Sum("fc_part", alias_name="file_count"),
+                Sum("chars_part", alias_name="total_chars"),
+            )
+            .to_pandas()
+            .rename(columns={key: "key"})
+            .assign(entity=key)
+        )
+
+    cols = ["entity", "key", "file_count", "total_chars"]
+    out = pd.concat(
+        [stats_by("repo")[cols], stats_by("lang")[cols]], ignore_index=True
+    ).sort_values(["entity", "key"]).reset_index(drop=True)
+    out["file_count"] = out["file_count"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out
+
+
+ENRICH_STATS_SQL = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT 'repo' AS entity, repo AS key, count(*)::BIGINT AS file_count,
+       sum(length(content))::BIGINT AS total_chars
+FROM corpus GROUP BY 2
+UNION ALL
+SELECT 'lang' AS entity, lang AS key, count(*)::BIGINT AS file_count,
+       sum(length(content))::BIGINT AS total_chars
+FROM corpus GROUP BY 2
+ORDER BY entity, key
+"""
+
+
 def doc_weights(sf_dir: str) -> ray.data.Dataset:
     return enrich.doc_weights_table(read_corpus(sf_dir))
 
@@ -315,7 +372,8 @@ def register_all() -> None:
     r.register(
         "latest_version_per_package", latest_version_per_package, latest_version_sql()
     )
-    r.register("enrich_repo_stats", enrich_repo_stats, REPO_STATS_SQL)
-    r.register("enrich_lang_stats", enrich_lang_stats, LANG_STATS_SQL)
+    # consolidated: repo + lang stats -> one discriminated enrich_stats
+    # entry (the standalone pipelines stay pytest-pinned)
+    r.register("enrich_stats", enrich_stats, ENRICH_STATS_SQL)
     r.register("doc_weights", doc_weights, DOC_WEIGHTS_SQL)
     r.register("weighted_bm25", weighted_bm25, weighted_bm25_oracle_sql())

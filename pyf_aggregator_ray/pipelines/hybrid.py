@@ -469,8 +469,35 @@ ORDER BY query_id, rank
 """
 
 
+def hybrid_search_both(sf_dir: str) -> pa.Table:
+    """ONE parameterized entry for the hybrid family (registry
+    consolidation): the exact brute-force vector backend and the LSH
+    scale backend, distinguished by the ``backend`` column — one driver
+    row verifies RRF fusion AND both candidate generators."""
+
+    def tag(t: pa.Table, backend: str) -> pa.Table:
+        return t.append_column(
+            "backend", pa.array([backend] * t.num_rows, type=pa.string())
+        )
+
+    return pa.concat_tables(
+        [
+            tag(hybrid_search(sf_dir, vector_backend="brute"), "brute"),
+            tag(hybrid_search_lsh(sf_dir), "lsh"),
+        ]
+    )
+
+
+def hybrid_search_both_sql() -> str:
+    return f"""
+SELECT 'brute' AS backend, * FROM ({hybrid_search_sql()})
+UNION ALL
+SELECT 'lsh' AS backend, * FROM ({hybrid_search_lsh_sql()})
+ORDER BY backend, query_id, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
-    r.register("hybrid_search", hybrid_search, hybrid_search_sql())
-    r.register("hybrid_search_lsh", hybrid_search_lsh, hybrid_search_lsh_sql())
+    r.register("hybrid_search", hybrid_search_both, hybrid_search_both_sql())

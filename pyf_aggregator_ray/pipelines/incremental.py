@@ -143,11 +143,30 @@ def incremental_update(
     see split dfs until a merge-mode increment or ``recreate_index``
     compacts the segments. Scoring is unaffected: BM25 contributions are
     computed at read time from summed df and the version's stats."""
+    if mode not in ("merge", "append"):
+        # an unvalidated typo ('Append') would silently fall through to
+        # merge mode and record the bogus string in the manifest
+        raise ValueError(f"mode must be 'merge' or 'append', got {mode!r}")
     cfg = cfg or DEFAULT
     t0 = time.perf_counter()
     live = mf.read_alias(index_root)
     if not live:
         raise RuntimeError(f"no live index under {index_root}; run a full build first")
+
+    # ---- append-mode compaction policy: each append adds shard rows per
+    # term, and the reader pays a per-lookup concat+sort over them. The
+    # manifest records the live version's max rows-per-term; once it
+    # reaches the configured bound the append ESCALATES to a merge-mode
+    # compaction, so shard-concat depth stays bounded no matter how many
+    # appends run. ----
+    requested_mode = mode
+    compacted = False
+    if mode == "append":
+        live_manifest = mf.read_manifest(live) or {}
+        live_shards = int(live_manifest.get("max_term_shards", 1))
+        if live_shards >= cfg.append_max_term_shards:
+            mode = "merge"
+            compacted = True
     version = mf.next_version(index_root)
     vdir = mf.version_dir(index_root, version)
     os.makedirs(vdir, exist_ok=True)
@@ -245,12 +264,19 @@ def incremental_update(
 
     # ---- stats + manifest + verified atomic cutover ----
     # vocab counts DISTINCT terms (append mode keeps several rows per
-    # term); df/cf sums are row-additive in both modes
-    vocab = (
+    # term); df/cf sums are row-additive in both modes. The SAME grouped
+    # pass also yields max rows-per-term — the compaction-policy signal.
+    term_rows = (
         ray.data.read_parquet(os.path.join(vdir, "postings"), columns=["term"])
         .groupby("term")
-        .count()
-        .count()
+        .aggregate(Count(alias_name="term_rows"))
+        .materialize()
+    )
+    vocab = term_rows.count()
+    from ray.data.aggregate import Max
+
+    max_term_shards = int(
+        term_rows.aggregate(Max("term_rows", alias_name="mx"))["mx"] or 1
     )
     pagg = ray.data.read_parquet(
         os.path.join(vdir, "postings"), columns=["df", "cf"]
@@ -273,6 +299,9 @@ def incremental_update(
         "parent_version": mf.read_manifest(live).get("version") if mf.read_manifest(live) else None,
         "kind": "incremental",
         "mode": mode,
+        "requested_mode": requested_mode,
+        "compacted": compacted,
+        "max_term_shards": max_term_shards,
         "stats": stats,
         "metrics": {
             "total_sec": time.perf_counter() - t0,

@@ -231,22 +231,45 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
         .groupby("segment")
         .aggregate(Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders"))
     )
+    # grouped-distinct customer counts per segment (reference A1, the
+    # grouped-distinct walk db.py:250-305) folded into the same entry —
+    # a second tiny grouped aggregate over the small dimension table
+    ccounts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+        .rename(columns={"c_mktsegment": "segment"})
+    )
     df = agg.to_pandas().sort_values("segment").reset_index(drop=True)
+    df = df.merge(ccounts, on="segment", how="inner").sort_values("segment")
     return pd.DataFrame(
         {
             "segment": df["segment"],
             "total_price": df["price_c"] / 100.0,
             "n_orders": df["n_orders"].astype("int64"),
+            "n_customers": df["n_customers"].astype("int64"),
         }
     )
 
 
 REVENUE_BY_SEGMENT_SQL = """
-SELECT c.c_mktsegment AS segment,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS total_price,
-       count(*)::BIGINT AS n_orders
-FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-GROUP BY 1 ORDER BY 1
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS total_price,
+         count(*)::BIGINT AS n_orders
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+cc AS (
+  SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_customers
+  FROM customer GROUP BY 1
+)
+SELECT rev.segment, rev.total_price, rev.n_orders, cc.n_customers
+FROM rev JOIN cc USING (segment)
+ORDER BY segment
 """
 
 
@@ -324,13 +347,17 @@ WHERE c_name LIKE '%11%' ORDER BY c_custkey
 """
 
 PREFIXES = ("SMALL", "STANDARD")
+NAME_FRAGMENT = "re"  # M4 substring predicate, chained after the prefix filter
 
 
-def type_prefix_filter(sf_dir: str) -> ray.data.Dataset:
-    """Keep parts whose p_type starts with any configured prefix — the
-    classifier-prefix predicate (reference ``fetcher.py:582-602``)."""
+def part_filters(sf_dir: str) -> ray.data.Dataset:
+    """The filter family chained in one entry: keep parts whose p_type
+    starts with any configured prefix — the classifier-prefix predicate
+    (reference ``fetcher.py:582-602``, M3) — AND whose p_name contains
+    the configured fragment — the name-substring predicate (reference
+    ``fetcher.py:374-376``, M4) — then a grouped count by brand."""
     ds = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"]
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_type", "p_brand"]
     )
 
     def pred(t: pa.Table) -> pa.Table:
@@ -338,6 +365,7 @@ def type_prefix_filter(sf_dir: str) -> ray.data.Dataset:
         for p in PREFIXES:
             m = pc.starts_with(t["p_type"], p)
             mask = m if mask is None else pc.or_(mask, m)
+        mask = pc.and_(mask, pc.match_substring(t["p_name"], NAME_FRAGMENT))
         return t.filter(mask)
 
     return ds.map_batches(pred, batch_format="pyarrow").groupby("p_brand").aggregate(
@@ -345,12 +373,17 @@ def type_prefix_filter(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-TYPE_PREFIX_SQL = f"""
+PART_FILTERS_SQL = f"""
 SELECT p_brand, count(*)::BIGINT AS n_parts
 FROM part
-WHERE {" OR ".join(f"p_type LIKE '{p}%'" for p in PREFIXES)}
+WHERE ({" OR ".join(f"p_type LIKE '{p}%'" for p in PREFIXES)})
+  AND p_name LIKE '%{NAME_FRAGMENT}%'
 GROUP BY 1 ORDER BY 1
 """
+
+# back-compat aliases (unit tests pin the prefix predicate family)
+type_prefix_filter = part_filters
+TYPE_PREFIX_SQL = PART_FILTERS_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -520,11 +553,33 @@ ORDER BY 1, 2
 """
 
 
+WINDOWED_SQL = f"""
+SELECT 'tumbling' AS window_kind, * FROM ({TUMBLING_SQL})
+UNION ALL
+SELECT 'sliding' AS window_kind, * FROM ({SLIDING_SQL})
+ORDER BY window_kind, event_type, window_start
+"""
+
+
+def windowed_counts(sf_dir: str) -> pd.DataFrame:
+    """Both window shapes in ONE entry (registry consolidation): the
+    tumbling 1-hour windows (null-ts catch-all included) and the sliding
+    1-hour/15-minute windows, distinguished by ``window_kind``."""
+    t = tumbling_window(sf_dir).assign(window_kind="tumbling")
+    s = sliding_window(sf_dir).assign(window_kind="sliding")
+    cols = ["window_kind", "event_type", "window_start", "n", "sum_value"]
+    return pd.concat([t[cols], s[cols]], ignore_index=True)
+
+
 def user_running_total(sf_dir: str) -> ray.data.Dataset:
     """Per-user running cumulative sum over time (windowed aggregate):
-    groupby(user) -> sort within group -> cumsum in integer cents."""
+    groupby(user) -> sort within group -> cumsum in integer cents. Also
+    carries the M5 timestamp parse (epoch seconds) and the §2.9 regex
+    props extraction per event, so one entry pins all three scalar
+    families."""
     ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value", "props"],
     ).map_batches(
         lambda t: t.filter(pc.is_valid(t["ts"])), batch_format="pyarrow"
     )
@@ -533,13 +588,17 @@ def user_running_total(sf_dir: str) -> ray.data.Dataset:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
         cents = (g["value"] * 100).round().astype("int64")
         g["running_value"] = cents.cumsum() / 100.0
-        return g[["user_id", "event_id", "running_value"]]
+        g["epoch_s"] = g["ts"].astype("int64") // US
+        g["k_value"] = g["props"].str.extract(r'"k": (\d+)').astype("int64")
+        return g[["user_id", "event_id", "epoch_s", "k_value", "running_value"]]
 
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
 RUNNING_TOTAL_SQL = """
 SELECT user_id, event_id,
+       epoch_us(ts) // 1000000 AS epoch_s,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_value,
        sum(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS UNBOUNDED PRECEDING
@@ -706,17 +765,19 @@ SELECT * FROM (VALUES
 def register_all() -> None:
     from . import registry as r
 
+    # consolidated: distinct_segments folded into revenue_by_segment
+    # (n_customers column); name_substring + type_prefix -> part_filters
+    # (chained M3+M4); tumbling + sliding -> windowed_counts; the M5
+    # timestamp parse + §2.9 props regex ride in user_running_total
+    # (tumbling keeps the null-ts catch-all coverage); top-k-per-group
+    # (T3) stays driver-verified via top_contributors, top5 stays
+    # pytest-pinned (tests/test_relational.py)
     r.register("q1_pricing_summary", q1_pricing_summary, Q1_SQL)
     r.register("newest_order_per_customer", newest_order_per_customer, NEWEST_ORDER_SQL)
-    r.register("top5_orders_per_status", top5_orders_per_status, TOP5_SQL)
     r.register("revenue_by_segment", revenue_by_segment, REVENUE_BY_SEGMENT_SQL)
     r.register("registry_union", registry_union, REGISTRY_UNION_SQL)
-    r.register("distinct_segments", distinct_segments, DISTINCT_SEGMENTS_SQL)
-    r.register("name_substring_filter", name_substring_filter, NAME_SUBSTRING_SQL)
-    r.register("type_prefix_filter", type_prefix_filter, TYPE_PREFIX_SQL)
-    r.register("event_timestamps", event_timestamps, EVENT_TS_SQL)
-    r.register("tumbling_window", tumbling_window, TUMBLING_SQL)
-    r.register("sliding_window", sliding_window, SLIDING_SQL)
+    r.register("part_filters", part_filters, PART_FILTERS_SQL)
+    r.register("windowed_counts", windowed_counts, WINDOWED_SQL)
     r.register("user_running_total", user_running_total, RUNNING_TOTAL_SQL)
     r.register("sessionize", sessionize, SESSIONIZE_SQL)
     r.register(

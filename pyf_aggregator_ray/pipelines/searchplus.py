@@ -283,6 +283,15 @@ class GroupedScorerStage:
             if len(uniq) == 0:
                 continue
             pos = np.searchsorted(self._ids, uniq)
+            # a posting doc_id absent from the docs/ artifact (torn or
+            # inconsistent version) must not IndexError past the end or
+            # silently land in the wrong group — drop it explicitly
+            ok = (pos < len(self._ids)) & (
+                self._ids[np.minimum(pos, len(self._ids) - 1)] == uniq
+            )
+            uniq, sc, pos = uniq[ok], sc[ok], pos[ok]
+            if len(uniq) == 0:
+                continue
             gid = self._codes[pos]
             # best doc per group: sort (group, score desc, doc_id asc),
             # keep each group's first row
@@ -517,6 +526,15 @@ class PhraseScorerStage:
                 )
                 doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
                 pos = tbl["pos"].to_numpy(zero_copy_only=False)
+                # 32/32 packing breaks silently past 2^32 ids/positions
+                # (the design-point guard; same check as dedup's pair
+                # packing) — fail loudly, don't corrupt adjacency keys
+                if len(doc) and (
+                    int(doc.max()) >> _POS_SHIFT or int(pos.max()) >> _POS_SHIFT
+                ):
+                    raise ValueError(
+                        "doc_id/pos >= 2^32: packed adjacency keys would corrupt"
+                    )
                 return t, np.sort((doc << _POS_SHIFT) | pos)
 
             with ThreadPoolExecutor(max_workers=min(4, len(missing))) as ex:
@@ -869,6 +887,322 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# composable search parameters (the reference's REAL search surface:
+# filter_by + group_by + num_typos + sort_by combine in ONE request,
+# /root/reference/src/pyf/aggregator/db.py:267-275 — grouped+sorted+
+# filtered in a single search — and :403-426 — filtered+sorted)
+# ---------------------------------------------------------------------------
+
+# (query_id, query, k, lang-filter | None, group_by, num_typos, sort_by)
+# sort_by: 'score' (relevance) or 'dl' (document field, desc — the
+# reference's sort_by upload_timestamp:desc analog).
+COMPOSABLE_QUERIES: list[tuple[int, str, int, str | None, bool, int, str]] = [
+    (0, "merge sort", 5, "en", True, 0, "score"),   # filter + group
+    (1, "mergw sorrt", 5, "en", True, 2, "score"),  # typo + filter + group
+    (2, "the", 5, None, True, 0, "dl"),             # group + sort_by field
+    (3, "customer value", 10, "de", False, 0, "dl"),  # filter + sort_by
+    (4, "sparc", 10, "en", True, 1, "score"),       # typo + filter + group
+    (5, "qqqqqq", 5, "en", True, 2, "score"),       # empty typo expansion
+]
+
+
+class ComposableScorerStage:
+    """Actor-pool stage composing the reference's search parameters
+    around ONE scorer pass: typo expansion (SymSpell artifact) rewrites
+    the query's term set, ``filter_by`` restricts the candidate ids
+    before ranking, ``group_by`` collapses hits to the best doc per
+    group, and ``sort_by`` orders hits (and picks group representatives)
+    by relevance or by a document field (dl desc) — no mutually-exclusive
+    routes.
+
+    Output schema is uniform across modes: (query_id, rank, repo,
+    doc_id, score, dl); ungrouped rows carry their doc's repo.
+    """
+
+    def __init__(self, index_path: str, cfg: EngineConfig | None = None):
+        self.reader = q.IndexReader(index_path, cfg)
+        self._docs = pads.dataset(os.path.join(self.reader.vdir, "docs"))
+        tbl = self._docs.to_table(columns=["doc_id", "repo", "dl"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        enc = pc.dictionary_encode(tbl["repo"].combine_chunks())
+        self._codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        self._names = enc.dictionary.to_pylist()
+        self._dls = tbl["dl"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        self._allowed: dict[str, np.ndarray] = {}
+        self._typo_terms: dict[tuple[str, int], str] = {}
+
+    # -- parameter stages -------------------------------------------------
+    def _allowed_ids(self, filter_by: str) -> np.ndarray:
+        cached = self._allowed.get(filter_by)
+        if cached is None:
+            expr = None
+            for clause in filter_by.split(" && "):
+                field, _, value = clause.partition(":=")
+                e = pads.field(field.strip()) == value.strip()
+                expr = e if expr is None else (expr & e)
+            tbl = self._docs.to_table(columns=["doc_id"], filter=expr)
+            cached = self._allowed[filter_by] = np.sort(
+                tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        return cached
+
+    def _expand_typos(self, query: str, budget: int) -> str:
+        """Artifact-based expansion, LOCAL pyarrow pushdown reads (this
+        runs inside an actor — no nested Ray Data execution), cached per
+        (query, budget)."""
+        key = (query, budget)
+        cached = self._typo_terms.get(key)
+        if cached is None:
+            from ..functions.tokenizer import tokenize_query
+            from .registry import (
+                TYPO_ARTIFACT_DIST,
+                _deletes,
+                _levenshtein,
+                ensure_typo_artifact,
+            )
+
+            art = ensure_typo_artifact(self.reader.vdir)
+            assert budget <= TYPO_ARTIFACT_DIST
+            toks = tokenize_query(query)
+            keys = sorted(set().union(*(_deletes(t, budget) for t in toks))) if toks else []
+            matched: set[str] = set()
+            if keys:
+                tbl = pads.dataset(art).to_table(
+                    columns=["key", "term"],
+                    filter=pads.field("key").isin(keys),
+                )
+                cand = set(tbl["term"].to_pylist())
+                for term in cand:
+                    for tok in toks:
+                        if abs(len(term) - len(tok)) <= budget and _levenshtein(
+                            tok, term
+                        ) <= budget:
+                            matched.add(term)
+                            break
+            cached = self._typo_terms[key] = " ".join(sorted(matched))
+        return cached
+
+    # -- one composed query -----------------------------------------------
+    def run_one(
+        self, query: str, k: int, filter_by: str, group_by: bool,
+        num_typos: int, sort_by: str,
+    ) -> list[tuple[int, str, int, float, int]]:
+        """-> [(rank, repo, doc_id, score, dl)]. Inline ``-term``
+        negation composes too: exclusions parse out of the query, typo
+        expansion applies to the positive terms only."""
+        query, neg = parse_negation(query)
+        if num_typos > 0:
+            query = self._expand_typos(query, num_typos)
+            if not query:
+                return []
+        allowed = self._allowed_ids(filter_by) if filter_by else None
+        uniq, sc = self.reader.accumulate(query)
+        if allowed is not None and len(uniq):
+            if len(allowed) == 0:
+                return []
+            pos = np.searchsorted(allowed, uniq)
+            ok = (pos < len(allowed)) & (
+                allowed[np.minimum(pos, len(allowed) - 1)] == uniq
+            )
+            uniq, sc = uniq[ok], sc[ok]
+        if neg and len(uniq):
+            hits = self.reader.lookup(neg)
+            if hits:
+                excl = np.unique(
+                    np.concatenate([ids for ids, _, _ in hits.values()])
+                )
+                pos = np.searchsorted(excl, uniq)
+                hit = (pos < len(excl)) & (
+                    excl[np.minimum(pos, len(excl) - 1)] == uniq
+                )
+                uniq, sc = uniq[~hit], sc[~hit]
+        if len(uniq) == 0:
+            return []
+        pos = np.searchsorted(self._ids, uniq)
+        ok = (pos < len(self._ids)) & (
+            self._ids[np.minimum(pos, len(self._ids) - 1)] == uniq
+        )
+        # drop posting ids absent from the docs artifact (torn version)
+        uniq, sc, pos = uniq[ok], sc[ok], pos[ok]
+        gid = self._codes[pos]
+        dls = self._dls[pos]
+        sort_key = dls.astype(np.float64) if sort_by == "dl" else sc
+        if group_by:
+            # best per group BY THE SORT KEY (the reference's grouped
+            # hits order by sort_by; the representative is the first)
+            order = np.lexsort((uniq, -sort_key, gid))
+            g_sorted = gid[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = g_sorted[1:] != g_sorted[:-1]
+            sel = order[first]
+        else:
+            sel = np.arange(len(uniq))
+        top = sel[np.lexsort((uniq[sel], -sort_key[sel]))][:k]
+        return [
+            (r + 1, self._names[gid[i]], int(uniq[i]), float(sc[i]), int(dls[i]))
+            for r, i in enumerate(top)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, repos, docs, scores, dls = [], [], [], [], [], []
+        for qid, query, k, filt, grp, typos, sort_by in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["k"].to_pylist(),
+            batch["filter_by"].to_pylist(),
+            batch["group_by"].to_pylist(),
+            batch["num_typos"].to_pylist(),
+            batch["sort_by"].to_pylist(),
+        ):
+            for rank, repo, doc_id, score, dl in self.run_one(
+                query, k, filt, bool(grp), int(typos), sort_by
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                repos.append(repo)
+                docs.append(doc_id)
+                scores.append(score)
+                dls.append(dl)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "repo": pa.array(repos, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(round6(np.array(scores, dtype=np.float64))),
+                "dl": pa.array(dls, type=pa.int64()),
+            }
+        )
+
+
+def composable_search(sf_dir: str) -> pa.Table:
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([p[0] for p in COMPOSABLE_QUERIES], pa.int64()),
+                "query": pa.array([p[1] for p in COMPOSABLE_QUERIES], pa.string()),
+                "k": pa.array([p[2] for p in COMPOSABLE_QUERIES], pa.int64()),
+                "filter_by": pa.array(
+                    [_filter_by_string(p[3], None) for p in COMPOSABLE_QUERIES],
+                    pa.string(),
+                ),
+                "group_by": pa.array([p[4] for p in COMPOSABLE_QUERIES], pa.bool_()),
+                "num_typos": pa.array([p[5] for p in COMPOSABLE_QUERIES], pa.int64()),
+                "sort_by": pa.array([p[6] for p in COMPOSABLE_QUERIES], pa.string()),
+            }
+        )
+    )
+    out = (
+        qds.map_batches(
+            ComposableScorerStage,
+            fn_constructor_args=(root,),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def composable_search_sql(
+    queries: list[tuple[int, str, int, str | None, bool, int, str]] | None = None,
+    cfg: EngineConfig | None = None,
+) -> str:
+    """Oracle for the composed parameters: levenshtein term expansion at
+    the typo budget (lev <= 0 degenerates to exact match), equality
+    filter before ranking, best-per-group collapse by the sort key,
+    ranking by the sort key (score desc or dl desc, doc_id tiebreak)."""
+    queries = queries or COMPOSABLE_QUERIES
+    cfg = cfg or DEFAULT
+
+    def _lit(v: str | None) -> str:
+        return q._sql_quote(v) if v is not None else "CAST(NULL AS VARCHAR)"
+
+    values = ",\n    ".join(
+        f"({qid}, {q._sql_quote(text)}, {k}, {_lit(lang)}, {str(grp).upper()}, {typos}, {q._sql_quote(sort_by)})"
+        for qid, text, k, lang, grp, typos, sort_by in queries
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+queries(query_id, query, k, f_lang, grp, typos, sort_by) AS (VALUES
+    {values}
+),
+qtoks AS (
+  SELECT DISTINCT query_id, k, f_lang, grp, typos, sort_by,
+         unnest(regexp_extract_all(lower(query), '[a-z0-9]+')) AS qt
+  FROM queries
+),
+qterms AS (
+  SELECT DISTINCT q.query_id, q.k, q.f_lang, q.grp, q.typos, q.sort_by, d.term
+  FROM qtoks q JOIN df d ON levenshtein(q.qt, d.term) <= q.typos
+),
+scored AS (
+  SELECT q.query_id, q.k, q.grp, q.sort_by, tf.doc_id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({cfg.k1} + 1))
+             / (tf.tf + {cfg.k1} * (1 - {cfg.b} + {cfg.b} * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN corpus c ON c.doc_id = tf.doc_id
+  WHERE (q.f_lang IS NULL OR c.lang = q.f_lang)
+  GROUP BY 1, 2, 3, 4, 5
+),
+hits AS (
+  SELECT s.*, c.repo, d.dl
+  FROM scored s
+  JOIN corpus c ON c.doc_id = s.doc_id
+  JOIN dl d ON d.doc_id = s.doc_id
+),
+rep AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id,
+                        CASE WHEN grp THEN repo ELSE doc_id::VARCHAR END
+           ORDER BY CASE WHEN sort_by = 'dl' THEN dl ELSE NULL END DESC,
+                    CASE WHEN sort_by = 'score' THEN score ELSE NULL END DESC,
+                    doc_id ASC
+         ) AS rn
+  FROM hits
+),
+ranked AS (
+  SELECT query_id, k, repo, doc_id, score, dl,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CASE WHEN sort_by = 'dl' THEN dl ELSE NULL END DESC,
+                    CASE WHEN sort_by = 'score' THEN score ELSE NULL END DESC,
+                    doc_id ASC
+         ) AS rnk
+  FROM rep WHERE rn = 1
+)
+SELECT query_id, rnk AS rank, repo, doc_id, {sql_round6('score')} AS score, dl
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank
+"""
+
+
 def register_all() -> None:
     from . import registry as r
 
@@ -876,3 +1210,4 @@ def register_all() -> None:
     r.register("grouped_search", grouped_search, grouped_search_sql())
     r.register("phrase_search", phrase_search, phrase_search_sql())
     r.register("negation_search", negation_search, negation_search_sql())
+    r.register("composable_search", composable_search, composable_search_sql())

@@ -135,12 +135,88 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(ts.fingerprint_batch, batch_format="pyarrow")
 
 
+def text_stats(sf_dir: str) -> ray.data.Dataset:
+    """The whole per-document text-analysis family in ONE pass over the
+    documents table (registry consolidation — one driver row officially
+    verifies language-ID, token counting, quality scoring and
+    fingerprinting): all four vectorized kernels share a single
+    map_batches, so the corpus is read and tokenized once instead of
+    four times — also the right shape at 100 TB."""
+
+    def all_stats(t: pa.Table) -> pa.Table:
+        lang = ts.langid_batch(t)          # doc_id, lang_pred
+        cnt = ts.token_count_batch(t)      # doc_id, n_tokens, n_unique_tokens
+        qual = ts.quality_batch(t)         # doc_id, n_chars, n_tokens, stopword_ratio, quality
+        fp = ts.fingerprint_batch(t)       # doc_id, fingerprint
+        # all four kernels are per-row transforms over the SAME batch,
+        # so rows align positionally
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": lang["lang_pred"],
+                "n_tokens": cnt["n_tokens"],
+                "n_unique_tokens": cnt["n_unique_tokens"],
+                "n_chars": qual["n_chars"],
+                "stopword_ratio": qual["stopword_ratio"],
+                "quality": qual["quality"],
+                "fingerprint": fp["fingerprint"],
+            }
+        )
+
+    return _docs(sf_dir).map_batches(all_stats, batch_format="pyarrow")
+
+
 FINGERPRINT_SQL = f"""
 WITH {TOKS_SQL},
 agg AS (SELECT doc_id, min(md5(term)) AS fingerprint FROM toks GROUP BY doc_id)
 SELECT d.doc_id, coalesce(a.fingerprint, '') AS fingerprint
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+# the four family oracles composed over one shared token stream — each
+# sub-expression is identical to its standalone oracle above
+TEXT_STATS_SQL = f"""
+WITH {TOKS_SQL},
+sw(cand, term) AS (VALUES
+    {_stopword_values()}
+),
+counts AS (
+  SELECT t.doc_id, sw.cand, count(*)::BIGINT AS c
+  FROM toks t JOIN sw ON sw.term = t.term
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, cand ASC) AS rn
+  FROM counts
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique_tokens,
+         sum(CASE WHEN term IN ({_all_stopword_list_sql()}) THEN 1 ELSE 0 END)::BIGINT AS sw_n,
+         min(md5(term)) AS fingerprint
+  FROM toks GROUP BY doc_id
+),
+feat AS (
+  SELECT d.doc_id,
+         coalesce(b.cand, 'unknown') AS lang_pred,
+         coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(a.n_unique_tokens, 0)::BIGINT AS n_unique_tokens,
+         length(d.text)::BIGINT AS n_chars,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0
+              THEN coalesce(a.sw_n, 0) * 1.0 / a.n_tokens ELSE 0.0 END AS ratio,
+         coalesce(a.fingerprint, '') AS fingerprint
+  FROM documents d
+  LEFT JOIN agg a ON a.doc_id = d.doc_id
+  LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+)
+SELECT doc_id, lang_pred, n_tokens, n_unique_tokens, n_chars,
+       {_R6RATIO} AS stopword_ratio,
+       {_R6QUAL} AS quality,
+       fingerprint
+FROM feat
+ORDER BY doc_id
 """
 
 
@@ -270,6 +346,35 @@ FROM jac WHERE j >= {DEFAULT.jaccard_threshold}
 ORDER BY doc_a, doc_b
 """
 )
+
+
+def near_dup_pairs(sf_dir: str) -> pa.Table:
+    """Jaccard near-dup family in ONE parameterized entry (registry
+    consolidation): the MinHash+LSH scale path and the exact n-gram
+    baseline, distinguished by the ``method`` column — both return the
+    same (doc_a, doc_b, jaccard) pairs at the configured threshold, and
+    a single driver row verifies signature/banding/bucket shuffle AND
+    the exact-intersection semantics it approximates."""
+
+    def tag(t: pa.Table, method: str) -> pa.Table:
+        return t.append_column(
+            "method", pa.array([method] * t.num_rows, type=pa.string())
+        )
+
+    return pa.concat_tables(
+        [
+            tag(minhash_lsh(sf_dir), "minhash_lsh"),
+            tag(ngram_jaccard(sf_dir), "ngram_exact"),
+        ]
+    )
+
+
+NEAR_DUP_PAIRS_SQL = f"""
+SELECT 'minhash_lsh' AS method, * FROM ({MINHASH_LSH_SQL})
+UNION ALL
+SELECT 'ngram_exact' AS method, * FROM ({NGRAM_JACCARD_SQL})
+ORDER BY method, doc_a, doc_b
+"""
 
 
 def simhash_pairs(sf_dir: str) -> pa.Table:
@@ -423,13 +528,66 @@ ORDER BY doc_a, doc_b
 """
 
 
+def ensure_ann(sf_dir: str) -> str:
+    """Build (once per index version) the persisted ANN artifacts —
+    trained-IVF centroids + cluster lists and the LSH bucket table —
+    under the live version dir (the same versioned-artifact treatment as
+    postings / typo / positions / field indexes). Query entries below
+    serve from these artifacts only; the embeddings table is read at
+    BUILD time, never on the query path."""
+    from ..state import manifest as mf
+    from .registry import ensure_index
+
+    root = ensure_index(sf_dir)
+    vdir = mf.read_alias(root)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.build_ann_artifacts(
+        emb,
+        vdir,
+        IVF_TRAIN_INIT_IDS,
+        sample_n=IVF_TRAIN_SAMPLE_N,
+        iters=IVF_TRAIN_ITERS,
+        num_planes=ANN_NUM_PLANES,
+    )
+
+
+def _ann_query_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_vec_id": pa.array(ANN_QUERY_IDS, type=pa.int64()),
+            "k": pa.array(
+                [DEFAULT.ann_default_k] * len(ANN_QUERY_IDS), type=pa.int64()
+            ),
+        }
+    )
+
+
+def _run_ann_stage(stage_cls, ann_path: str, *args) -> pa.Table:
+    out = (
+        ray.data.from_arrow(_ann_query_table())
+        .map_batches(
+            stage_cls,
+            fn_constructor_args=(ann_path, *args),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ann_topk_lsh(sf_dir: str) -> pa.Table:
     # approximate (recall < 1) but DETERMINISTIC: the seeded hyperplane
     # matrix is embedded in the SQL oracle below, which replicates
     # bucket + hamming-1 probing exactly; recall additionally asserted
-    # against brute force in tests/test_ann.py
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_stage.lsh_bucketed_topk(emb, ANN_QUERY_IDS, DEFAULT.ann_default_k)
+    # against brute force in tests/test_ann.py. SERVED FROM THE PERSISTED
+    # BUCKET TABLE (round-3 verdict #3): probing pushdown-reads only the
+    # query's own + hamming-1 buckets.
+    ann_path = ensure_ann(sf_dir)
+    return _run_ann_stage(ann_stage.LshArtifactStage, ann_path, ANN_NUM_PLANES)
 
 
 ANN_DIM = 64  # embeddings.parquet dim at every driver scale factor
@@ -673,6 +831,67 @@ ORDER BY s.doc_id
 """
 
 
+class MediaFeaturesStage:
+    """Actor-pool stage computing BOTH per-doc media modalities (image
+    histogram + audio RMS/duration) in one pass: payloads for each
+    modality are generated inside the batch from doc_id, decoded by the
+    per-modality stages (their per-actor caches live here once), and the
+    feature columns align positionally on the shared doc_id order."""
+
+    def __init__(self):
+        from ..stages.multimodal import AudioFeatureStage, ImageFeatureStage
+
+        self.img = ImageFeatureStage()
+        self.aud = AudioFeatureStage()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.rounding import round6
+        from ..stages.multimodal import synth_audio_table, synth_media_table
+
+        ids = t["doc_id"].to_pylist()
+        img = self.img(synth_media_table(ids))
+        aud = self.aud(synth_audio_table(ids))
+        cols = {
+            "doc_id": t["doc_id"],
+            "decoded_width": img["decoded_width"],
+            "decoded_height": img["decoded_height"],
+        }
+        arr = np.array(img["feature"].to_pylist(), dtype=np.float64)
+        for i in range(16):
+            cols[f"h{i:02d}"] = pa.array(round6(arr[:, i]), type=pa.float64())
+        cols["n_samples"] = aud["n_samples"]
+        cols["duration_s"] = pa.array(
+            round6(np.asarray(aud["duration_s"])), type=pa.float64()
+        )
+        cols["rms"] = pa.array(round6(np.asarray(aud["rms"])), type=pa.float64())
+        return pa.table(cols)
+
+
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """Image + audio decode features in ONE driver entry (registry
+    consolidation): both modalities' payloads generate inside
+    map_batches and decode in the same actor pool."""
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return ids.map_batches(
+        MediaFeaturesStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+def _media_features_sql() -> str:
+    """The image and audio oracles joined on doc_id (each side identical
+    to its standalone oracle)."""
+    return f"""
+SELECT i.*, a.n_samples, a.duration_s, a.rms
+FROM ({_image_features_sql()}) i
+JOIN ({_audio_features_sql()}) a USING (doc_id)
+ORDER BY i.doc_id
+"""
+
+
 def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
     from ..stages.multimodal import FrameSampleStage
 
@@ -785,15 +1004,16 @@ IVF_TRAIN_INIT_IDS = [9, 41, 77, 106, 139, 173, 202, 251]
 
 
 def ann_topk_ivf_trained(sf_dir: str) -> pa.Table:
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_stage.ivf_trained_topk(
-        emb,
-        ANN_QUERY_IDS,
-        DEFAULT.ann_default_k,
-        IVF_TRAIN_INIT_IDS,
-        sample_n=IVF_TRAIN_SAMPLE_N,
-        iters=IVF_TRAIN_ITERS,
-        nprobe=IVF_TRAIN_NPROBE,
+    """Trained-IVF top-k SERVED FROM THE PERSISTED ARTIFACT (round-3
+    verdict #3): centroids + cluster-sorted inverted lists are build-side
+    outputs of :func:`ensure_ann`; the query path reads the tiny codebook
+    plus only the nprobe probed clusters (row-group pushdown) — no
+    k-means retraining, no full-embeddings pass per invocation. Results
+    are bit-identical to the direct :func:`ann_stage.ivf_trained_topk`
+    path and to the recursive-CTE k-means SQL oracle."""
+    ann_path = ensure_ann(sf_dir)
+    return _run_ann_stage(
+        ann_stage.IvfArtifactStage, ann_path, IVF_TRAIN_NPROBE
     )
 
 
@@ -967,22 +1187,21 @@ ORDER BY doc_id, url
 def register_all() -> None:
     from . import registry as r
 
+    # consolidated: langid/token_count/quality/fingerprint -> text_stats;
+    # minhash_lsh_dedup + ngram_jaccard_pairs -> near_dup_pairs;
+    # media image+audio -> media_features; seeded-codebook ann_topk_ivf is
+    # superseded by the trained-codebook entry (the seeded path stays
+    # pinned by tests/test_ann.py)
     r.register("screenshot_urls", screenshot_urls, SCREENSHOT_URLS_SQL)
-    r.register("ann_topk_ivf", ann_topk_ivf, ann_topk_ivf_sql())
     r.register(
         "ann_topk_ivf_trained", ann_topk_ivf_trained, ann_topk_ivf_trained_sql()
     )
-    r.register("langid", langid, LANGID_SQL)
-    r.register("token_count", token_count, TOKEN_COUNT_SQL)
-    r.register("quality_score", quality, QUALITY_SQL)
-    r.register("doc_fingerprint", fingerprint, FINGERPRINT_SQL)
+    r.register("text_stats", text_stats, TEXT_STATS_SQL)
     r.register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
-    r.register("minhash_lsh_dedup", minhash_lsh, MINHASH_LSH_SQL)
-    r.register("ngram_jaccard_pairs", ngram_jaccard, NGRAM_JACCARD_SQL)
+    r.register("near_dup_pairs", near_dup_pairs, NEAR_DUP_PAIRS_SQL)
     r.register("simhash_near_dup", simhash_pairs, SIMHASH_SQL)
     r.register("embedding_near_dup", embedding_near_dup, embedding_near_dup_sql())
     r.register("ann_topk", ann_topk, ANN_TOPK_SQL)
     r.register("ann_topk_lsh", ann_topk_lsh, ann_topk_lsh_sql())
-    r.register("media_image_features", media_image_features, _image_features_sql())
-    r.register("media_audio_features", media_audio_features, _audio_features_sql())
+    r.register("media_features", media_features, _media_features_sql())
     r.register("media_frame_sample", media_frame_sample, _frame_sample_sql())

@@ -422,6 +422,228 @@ def ivf_trained_topk(
     return _bucketed_topk(with_cluster, "cluster", probe, q_ids, q_mat, k)
 
 
+# ---------------------------------------------------------------------------
+# persisted ANN index artifacts (round-3 verdict #3): IVF centroids +
+# cluster-assigned inverted lists, and the LSH signature/bucket table,
+# written ONCE at build time under the index version dir (same versioned-
+# artifact pattern as postings / typo / positions / field indexes) so the
+# query path reads only the probed clusters/buckets — no per-invocation
+# pass over the full embeddings table. Mirrors how the reference keeps
+# its index server-side (/root/reference/src/pyf/aggregator/db.py:92-243).
+# ---------------------------------------------------------------------------
+
+
+def build_ann_artifacts(
+    embeddings: ray.data.Dataset,
+    vdir: str,
+    init_vec_ids: list[int],
+    sample_n: int = 256,
+    iters: int = 4,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> str:
+    """Build ``vdir/ann/``: ``centroids.parquet`` (the round6-quantized
+    trained codebook), ``ivf_lists/`` (vec rows keyed+sorted by cluster —
+    row-group pushdown reads exactly the probed clusters), ``lsh_buckets/``
+    (vec rows keyed+sorted by hyperplane signature bucket). Assignment
+    and signatures replicate :func:`ivf_trained_topk` /
+    :func:`lsh_bucketed_topk` bit-for-bit, so artifact-served queries are
+    identical to the direct paths (and to their SQL oracles)."""
+    import os
+
+    path = os.path.join(vdir, "ann")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    c = train_ivf_centroids_r6(embeddings, init_vec_ids, sample_n, iters)
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "cid": pa.array(np.arange(len(c), dtype=np.int64)),
+                "centroid": pa.array(list(c), type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(path, "centroids.parquet"),
+    )
+    cent_ref = ray.put(c)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        cc = ray.get(cent_ref)
+        m = _emb_matrix(t)
+        cluster = np.argmax(round6(m @ cc.T), axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(cluster, type=pa.int64()))
+
+    embeddings.map_batches(assign_batch, batch_format="pyarrow").sort(
+        "cluster"
+    ).write_parquet(os.path.join(path, "ivf_lists"))
+
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes_ref = ray.put(lsh_planes(num_planes, dim, seed))
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _emb_matrix(t)
+        bits = (m @ pl.T) > 0
+        sig = np.zeros(len(m), dtype=np.int64)
+        for i in range(pl.shape[0]):
+            sig |= bits[:, i].astype(np.int64) << i
+        return t.append_column("bucket", pa.array(sig, type=pa.int64()))
+
+    embeddings.map_batches(sig_batch, batch_format="pyarrow").sort(
+        "bucket"
+    ).write_parquet(os.path.join(path, "lsh_buckets"))
+    open(marker, "w").close()
+    return path
+
+
+class _AnnArtifactStageBase:
+    """Actor-pool base: artifact handles open once per actor; per query
+    batch, only the probed clusters/buckets are read (predicate pushdown
+    over the sort key) and scored — the embeddings table is never
+    touched on the query path."""
+
+    lists_subdir: str
+    key_col: str
+
+    def __init__(self, ann_path: str):
+        import os
+
+        import pyarrow.dataset as pads
+
+        self._lists = pads.dataset(os.path.join(ann_path, self.lists_subdir))
+        self._ann_path = ann_path
+
+    def _query_vecs(self, qids: list[int]) -> tuple[list[int], np.ndarray, np.ndarray]:
+        import pyarrow.dataset as pads
+
+        tbl = self._lists.to_table(
+            columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id").isin(qids),
+        ).sort_by("vec_id")
+        ids = tbl["vec_id"].to_pylist()
+        raw = _emb_matrix(tbl) if tbl.num_rows else np.zeros((0, 0))
+        return ids, raw, (_normalize(raw) if tbl.num_rows else raw)
+
+    def _probe_keys(self, q_raw: np.ndarray) -> list[list[int]]:
+        raise NotImplementedError
+
+    def topk(self, qids: list[int], k: int) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        found_ids, q_raw, q_norm = self._query_vecs(qids)
+        if not found_ids:
+            return _OUT_SCHEMA.empty_table()
+        probes = self._probe_keys(q_raw)
+        all_keys = sorted({key for p in probes for key in p})
+        cand = self._lists.to_table(
+            columns=["vec_id", "embedding", self.key_col],
+            filter=pads.field(self.key_col).isin(all_keys),
+        )
+        vids = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = cand[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(_emb_matrix(cand)) if cand.num_rows else np.zeros((0, 0))
+        out_q, out_r, out_v, out_c = [], [], [], []
+        for qi, qid in enumerate(found_ids):
+            mask = np.isin(keys, probes[qi])
+            if not mask.any():
+                continue
+            sub, subids = vecs[mask], vids[mask]
+            row = round6(q_norm[qi] @ sub.T)
+            top = np.lexsort((subids, -row))[:k]
+            out_q.extend([qid] * len(top))
+            out_r.extend(range(1, len(top) + 1))
+            out_v.extend(subids[top].tolist())
+            out_c.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+
+class IvfArtifactStage(_AnnArtifactStageBase):
+    """Query the persisted trained-IVF lists: nprobe nearest centroids
+    per query (round6 dot, cid tiebreak — identical to
+    :func:`ivf_trained_topk`), pushdown-read only those clusters."""
+
+    lists_subdir = "ivf_lists"
+    key_col = "cluster"
+
+    def __init__(self, ann_path: str, nprobe: int = 3):
+        import os
+
+        super().__init__(ann_path)
+        cent = pa.parquet.read_table(
+            os.path.join(ann_path, "centroids.parquet")
+        ).sort_by("cid")
+        self._centroids = np.array(
+            cent["centroid"].to_pylist(), dtype=np.float64
+        )
+        self.nprobe = nprobe
+
+    def _probe_keys(self, q_raw: np.ndarray) -> list[list[int]]:
+        out = []
+        for i in range(len(q_raw)):
+            dots = round6(q_raw[i] @ self._centroids.T)
+            order = np.lexsort((np.arange(len(self._centroids)), -dots))
+            out.append([int(c) for c in order[: self.nprobe]])
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = [
+            self.topk([int(qid)], int(k))
+            for qid, k in zip(
+                batch["query_vec_id"].to_pylist(), batch["k"].to_pylist()
+            )
+        ]
+        return pa.concat_tables(parts) if parts else _ARTIFACT_Q_SCHEMA.empty_table()
+
+
+class LshArtifactStage(_AnnArtifactStageBase):
+    """Query the persisted LSH bucket table: own bucket + hamming-1
+    neighbors per query (identical probing to :func:`lsh_bucketed_topk`),
+    pushdown-read only those buckets."""
+
+    lists_subdir = "lsh_buckets"
+    key_col = "bucket"
+
+    def __init__(self, ann_path: str, num_planes: int = 8, seed: int = 42):
+        super().__init__(ann_path)
+        self.num_planes = num_planes
+        self.seed = seed
+        self._planes: np.ndarray | None = None
+
+    def _probe_keys(self, q_raw: np.ndarray) -> list[list[int]]:
+        if self._planes is None:
+            self._planes = lsh_planes(self.num_planes, q_raw.shape[1], self.seed)
+        out = []
+        for i in range(len(q_raw)):
+            bits = (q_raw[i] @ self._planes.T) > 0
+            s = 0
+            for p in range(self.num_planes):
+                s |= int(bits[p]) << p
+            out.append(sorted({s} | {s ^ (1 << j) for j in range(self.num_planes)}))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = [
+            self.topk([int(qid)], int(k))
+            for qid, k in zip(
+                batch["query_vec_id"].to_pylist(), batch["k"].to_pylist()
+            )
+        ]
+        return pa.concat_tables(parts) if parts else _ARTIFACT_Q_SCHEMA.empty_table()
+
+
+_ARTIFACT_Q_SCHEMA = _OUT_SCHEMA
+
+
 NEAR_DUP_NUM_PLANES = 64
 NEAR_DUP_NUM_BANDS = 16  # 4 bits per band
 

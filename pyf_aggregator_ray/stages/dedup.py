@@ -426,6 +426,11 @@ def _unique_pairs_task(*tables: pa.Table) -> pa.Table:
     t = pa.concat_tables(tbls)
     a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # the 32/32 packing silently corrupts pairs if an id ever exceeds
+    # 2^32 (the 10^12-doc design point) — fail loudly instead; the fix
+    # at that scale is a structured-dtype view over the (a, b) columns
+    if len(a) and (int(a.max()) >> 32 or int(b.max()) >> 32):
+        raise ValueError("doc ids >= 2^32: 32-bit pair packing would corrupt")
     packed = np.unique((a << 32) | b)
     return pa.table(
         {

@@ -263,3 +263,59 @@ def test_ivf_trained_codebook_recall_floor(ray_session):
         [len(by_q.get(q, set()) & exact_by_q[q]) / len(exact_by_q[q]) for q in qids]
     )
     assert recall >= 0.9, f"trained IVF recall {recall:.3f}"
+
+
+def test_ann_artifacts_serve_after_embeddings_deleted(ray_session, tmp_path):
+    """Round-4: persisted ANN artifacts (IVF centroids + cluster lists,
+    LSH bucket table) must serve queries IDENTICAL to the direct paths,
+    from the artifact alone — the embeddings table is deleted after the
+    build (the corpus-deleted pattern fieldsearch uses)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    vecs = rng.standard_normal((n, dim))
+    emb_path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        ),
+        emb_path,
+    )
+    emb = ray.data.read_parquet(emb_path)
+    init_ids = [3, 40, 77, 111, 150, 200, 230, 250]
+    qids, k, nprobe, planes = [0, 5, 123], 7, 3, 6
+
+    # direct (recompute-per-call) reference results
+    direct_ivf = ann.ivf_trained_topk(
+        emb, qids, k, init_ids, sample_n=256, iters=4, nprobe=nprobe
+    )
+    direct_lsh = ann.lsh_bucketed_topk(emb, qids, k, num_planes=planes)
+
+    vdir = str(tmp_path / "v1")
+    os.makedirs(vdir)
+    art = ann.build_ann_artifacts(
+        emb, vdir, init_ids, sample_n=256, iters=4, num_planes=planes
+    )
+    os.remove(emb_path)  # the query path must not need the table
+
+    ivf_stage = ann.IvfArtifactStage(art, nprobe=nprobe)
+    lsh_stage = ann.LshArtifactStage(art, num_planes=planes)
+    got_ivf = ivf_stage.topk(qids, k)
+    got_lsh = lsh_stage.topk(qids, k)
+
+    for got, want in ((got_ivf, direct_ivf), (got_lsh, direct_lsh)):
+        g = got.to_pandas().sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+        w = want.to_pandas().sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+        assert g["vec_id"].tolist() == w["vec_id"].tolist()
+        assert np.allclose(g["cosine"], w["cosine"])

@@ -222,3 +222,75 @@ def test_append_mode_matches_merge_mode(tmp_path, synth_corpus_table, ray_sessio
     carried = set(os.listdir(v1)) & set(os.listdir(v2))
     assert carried == set(os.listdir(v1))
     assert len(os.listdir(v2)) > len(os.listdir(v1))  # plus delta files
+
+
+def test_append_compaction_policy_bounds_shards(tmp_path, synth_corpus_table, ray_session):
+    """Round-4 compaction policy: repeated mode="append" increments grow
+    per-term shard rows; once the live manifest's max_term_shards reaches
+    cfg.append_max_term_shards, the NEXT append escalates to a merge-mode
+    compaction — postings return to one row per term, byte-identical to a
+    full build over the union corpus, and reader shard-concat depth stays
+    bounded."""
+    import ray.data
+
+    from pyf_aggregator_ray.config import EngineConfig
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+    from pyf_aggregator_ray.pipelines.incremental import incremental_update
+    from pyf_aggregator_ray.pipelines.query import IndexReader
+
+    cfg = EngineConfig(
+        hot_df_threshold=20, salt_range_docs=40, append_max_term_shards=3
+    )
+    root = str(tmp_path / "compact_root")
+    base = synth_corpus_table.slice(0, 120)
+    deltas = [synth_corpus_table.slice(120 + 70 * i, 70) for i in range(4)]
+
+    build_index("", root, cfg, corpus=ray.data.from_arrow(base), num_parts=4)
+
+    shard_history = []
+    manifests = []
+    for d in deltas:
+        m = incremental_update(
+            root, ray.data.from_arrow(d), cfg, num_parts=4, mode="append"
+        )
+        manifests.append(m)
+        shard_history.append(m["max_term_shards"])
+        # the policy bound holds after EVERY increment
+        assert m["max_term_shards"] <= cfg.append_max_term_shards
+
+    # at least one increment actually appended (shards grew past 1) and
+    # at least one escalated to compaction (requested append, ran merge)
+    assert any(s > 1 for s in shard_history)
+    compactions = [m for m in manifests if m["compacted"]]
+    assert compactions, shard_history
+    for m in compactions:
+        assert m["requested_mode"] == "append" and m["mode"] == "merge"
+        assert m["max_term_shards"] == 1
+
+    # drive appends until the live version is freshly compacted, then
+    # compare against a from-scratch full build over the same union
+    n_used = 120 + 70 * len(deltas)
+    if manifests[-1]["max_term_shards"] >= cfg.append_max_term_shards:
+        m = incremental_update(
+            root,
+            ray.data.from_arrow(synth_corpus_table.slice(n_used, 10)),
+            cfg,
+            num_parts=4,
+            mode="append",
+        )
+        assert m["compacted"] and m["max_term_shards"] == 1
+        n_used += 10
+    if manifests[-1]["compacted"] or n_used > 120 + 70 * len(deltas):
+        full_root = str(tmp_path / "full_root")
+        union = synth_corpus_table.slice(0, n_used)
+        build_index("", full_root, cfg, corpus=ray.data.from_arrow(union), num_parts=4)
+        full = load_postings(full_root)
+        inc = load_postings(root)
+        assert set(full) == set(inc)
+        for term in full:
+            for i in (1, 2, 3):
+                assert list(full[term][i]) == list(inc[term][i]), term
+
+    # scoring stays correct throughout (reader-level invariant)
+    reader = IndexReader(root, cfg)
+    assert reader.score("ident1", 10)

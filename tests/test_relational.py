@@ -117,6 +117,9 @@ def test_tumbling_window_routes_null_ts_to_catch_all(tmp_path, ray_session):
             "event_id": pa.array([10, 11, 12, 13], type=pa.int64()),
             "ts": tbl["ts"],
             "value": tbl["value"],
+            "props": pa.array(
+                ['{"k": 7}', '{"k": 8}', '{"k": 9}', '{"k": 10}']
+            ),
         }
     )
     pq.write_table(full, os.path.join(sf, "events.parquet"))

@@ -13,8 +13,7 @@ FEATURES = [
     "bm25_snippets",
     "search_sorted_by_field",
     "prefix_search",
-    "typo_search",
-    "typo_search2",
+    "typo_search",  # merged: one entry carries both budgets (d=1, d=2)
     "weighted_field_search",
     "incremental_term_stats",
     "delete_lang_term_stats",
@@ -22,13 +21,15 @@ FEATURES = [
     "top_contributors",
     "npm_version_expansion",
     "embedding_near_dup",
-    "media_audio_features",
+    "media_features",  # merged: image + audio modalities
+    "text_stats",  # merged: langid/token_count/quality/fingerprint
+    "near_dup_pairs",  # merged: minhash_lsh + exact ngram jaccard
+    "corpus_docs",  # merged: corpus derivation + sha256 invariant
     "corpus_curation",
     "filtered_search",
     "grouped_search",
     "phrase_search",
-    "hybrid_search",
-    "hybrid_search_lsh",
+    "hybrid_search",  # merged: brute + lsh vector backends
     "negation_search",
     "infix_search",
 ]
@@ -98,6 +99,61 @@ def test_symspell_expansion_complete(ray_session):
             t for t in vocab if any(_levenshtein(tok, t) <= d for tok in tokens)
         }
         assert got == want, (d, got ^ want)
+
+
+def test_infix_artifact_expansion_complete(ray_session):
+    """Char-n-gram artifact property on the real dictionary: artifact
+    expansion finds EXACTLY the terms the (pre-artifact) distributed
+    substring scan finds — short fragments (<= n: gram equality IS
+    containment), long fragments (> n: gram intersection + verify),
+    absent fragments, and single-letter fragments."""
+    from pyf_aggregator_ray.pipelines.registry import (
+        _infix_expand,
+        _infix_scan,
+        ensure_index,
+    )
+    from pyf_aggregator_ray.state import manifest as mf
+
+    root = ensure_index(SF)
+    vdir = mf.read_alias(root)
+    frags = [
+        (0, "erge"), (1, "usto"), (2, "zzzqx"), (3, "ind"),
+        (4, "q"), (5, "er"), (6, "ustomer"), (7, "merge"),
+    ]
+    assert _infix_expand(vdir, frags) == _infix_scan(vdir, frags)
+
+
+def test_infix_query_path_reads_artifact_only(ray_session, tmp_path):
+    """The infix query path must never scan the term dictionary: build
+    the artifact from a tiny private index copy, DELETE the postings
+    (the dictionary), and expansion still answers correctly from the
+    artifact alone — the corpus-deleted pattern fieldsearch uses."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyf_aggregator_ray.pipelines.registry import (
+        _infix_expand,
+        ensure_infix_artifact,
+    )
+
+    vdir = str(tmp_path / "v1")
+    os.makedirs(os.path.join(vdir, "postings"))
+    vocab = ["merge", "merged", "emerge", "sort", "customer", "custom", "in"]
+    pq.write_table(
+        pa.table({"term": pa.array(vocab)}),
+        os.path.join(vdir, "postings", "part-0.parquet"),
+    )
+    ensure_infix_artifact(vdir)
+    shutil.rmtree(os.path.join(vdir, "postings"))
+
+    got = _infix_expand(vdir, [(0, "erge"), (1, "usto"), (2, "in"), (3, "xx")])
+    assert got[0] == {"merge", "merged", "emerge"}
+    assert got[1] == {"customer", "custom"}
+    assert got[2] == {"in"}  # len<=n gram-equality path
+    assert got[3] == set()
 
 
 def test_filtered_search_is_filtered_subset(ray_session):
