@@ -33,6 +33,43 @@ def _cents(col: pa.ChunkedArray) -> pa.Array:
 
 
 # ---------------------------------------------------------------------------
+# bucketed segmented-numpy execution for per-key windowed operators.
+#
+# groupby(fine_key).map_groups(pandas_fn) pays a Python/pandas dispatch
+# PER KEY — fine at sf0.1, dominant at 100x for high-cardinality keys
+# (the round-3 verdict's finding #4). The scale shape used here instead:
+# hash the fine key into N_BUCKETS coarse buckets, shuffle ONCE on the
+# bucket, and run ONE vectorized segmented kernel per bucket over all of
+# its keys (np.lexsort + boundary flags + cumsum/reduceat — the same
+# pattern stages/postings.py uses for posting segments). Per-key Python
+# cost is gone; kernel cost is O(rows log rows) per bucket regardless of
+# how many keys a bucket holds.
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 64
+
+
+def _by_bucket(ds: ray.data.Dataset, key_col: str):
+    """Hash-bucket the fine key and group by the bucket: the shuffle
+    moves each row once, and downstream kernels see whole buckets."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array((k % N_BUCKETS).astype(np.int64))
+        )
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket")
+
+
+def _segments(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boolean start-of-segment flags for a sorted key array."""
+    first = np.ones(len(sorted_keys), dtype=bool)
+    first[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return first
+
+
+# ---------------------------------------------------------------------------
 # Q1-style pricing summary: filter -> derived cents columns -> groupby agg
 # ---------------------------------------------------------------------------
 
@@ -120,14 +157,30 @@ ORDER BY l_returnflag, l_linestatus
 def newest_order_per_customer(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
     )
 
-    def newest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, True])
-        return g.head(1)[["o_custkey", "o_orderkey", "o_orderdate"]]
+    def newest_seg(g: pa.Table) -> pa.Table:
+        # one vectorized argmax pass over ALL customers in the bucket:
+        # sort (cust, date desc, orderkey asc), keep each segment's first
+        out_cols = ["o_custkey", "o_orderkey", "o_orderdate"]
+        if g.num_rows == 0:
+            return g.select(out_cols)
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        date = (
+            g["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((okey, -date, cust))
+        sel = order[_segments(cust[order])]
+        return g.select(out_cols).take(pa.array(np.sort(sel)))
 
-    return ds.groupby("o_custkey").map_groups(newest, batch_format="pandas")
+    return _by_bucket(ds, "o_custkey").map_groups(
+        newest_seg, batch_format="pyarrow"
+    )
 
 
 NEWEST_ORDER_SQL = """
@@ -154,13 +207,21 @@ def top5_orders_per_status(sf_dir: str) -> ray.data.Dataset:
         columns=["o_orderstatus", "o_orderkey", "o_totalprice"],
     )
 
-    def top5(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(5)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_orderstatus", "rank", "o_orderkey", "o_totalprice"]]
+    def top5(g: pa.Table) -> pa.Table:
+        # vectorized per-group head-5: sort (price desc, key asc), rank
+        # by position (one group per call — the status key has a handful
+        # of values, so per-group dispatch is not a scale concern here)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((okey, -price))[:5]
+        out = g.select(["o_orderstatus", "o_orderkey", "o_totalprice"]).take(
+            pa.array(top)
+        )
+        return out.add_column(
+            1, "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
+        )
 
-    return ds.groupby("o_orderstatus").map_groups(top5, batch_format="pandas")
+    return ds.groupby("o_orderstatus").map_groups(top5, batch_format="pyarrow")
 
 
 TOP5_SQL = """
@@ -584,15 +645,52 @@ def user_running_total(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.filter(pc.is_valid(t["ts"])), batch_format="pyarrow"
     )
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = (g["value"] * 100).round().astype("int64")
-        g["running_value"] = cents.cumsum() / 100.0
-        g["epoch_s"] = g["ts"].astype("int64") // US
-        g["k_value"] = g["props"].str.extract(r'"k": (\d+)').astype("int64")
-        return g[["user_id", "event_id", "epoch_s", "k_value", "running_value"]]
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_id", pa.int64()),
+         ("epoch_s", pa.int64()), ("k_value", pa.int64()),
+         ("running_value", pa.float64())]
+    )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    def running_seg(g: pa.Table) -> pa.Table:
+        # segmented cumsum over ALL users in the bucket: sort (user, ts,
+        # event_id), global cumsum in cents, subtract each segment's
+        # entering offset — no per-user dispatch
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (
+            pc.cast(pc.round(pc.multiply(g["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        extracted = pc.extract_regex(g["props"], r'"k": (?P<k>\d+)')
+        if isinstance(extracted, pa.ChunkedArray):
+            extracted = extracted.combine_chunks()
+        kval = pc.cast(extracted.field("k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, user))
+        u, c = user[order], cents[order]
+        cs = np.cumsum(c)
+        starts = np.flatnonzero(_segments(u))
+        seg_id = np.cumsum(_segments(u)) - 1
+        enter = np.concatenate([[0], cs[starts[1:] - 1]]) if len(starts) else cs[:0]
+        running = (cs - enter[seg_id]) / 100.0
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": pa.array(eid[order]),
+                "epoch_s": pa.array(ts[order] // US),
+                "k_value": pa.array(kval[order]),
+                "running_value": pa.array(running, type=pa.float64()),
+            }
+        )
+
+    return _by_bucket(ds, "user_id").map_groups(running_seg, batch_format="pyarrow")
 
 
 RUNNING_TOTAL_SQL = """
@@ -622,22 +720,53 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.filter(pc.is_valid(t["ts"])), batch_format="pyarrow"
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        epoch = g["ts"].astype("int64") // US
-        new = (epoch.diff().fillna(SESSION_GAP_S + 1) > SESSION_GAP_S).cumsum()
-        out = g.assign(session_id=new.astype("int64"), epoch=epoch)
-        res = out.groupby("session_id").agg(
-            user_id=("user_id", "first"),
-            n_events=("event_id", "count"),
-            start_s=("epoch", "min"),
-            end_s=("epoch", "max"),
-        )
-        res = res.reset_index()
-        res["duration_s"] = (res["end_s"] - res["start_s"]).astype("int64")
-        return res[["user_id", "session_id", "n_events", "start_s", "duration_s"]]
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("session_id", pa.int64()),
+         ("n_events", pa.int64()), ("start_s", pa.int64()),
+         ("duration_s", pa.int64())]
+    )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_seg(g: pa.Table) -> pa.Table:
+        # segmented sessionization over ALL users in the bucket: sort
+        # (user, epoch, event_id); a session opens at each user boundary
+        # or >gap jump; per-session aggregates via reduceat — no per-user
+        # dispatch
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        epoch = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64") // US
+        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, epoch, user))
+        u, e = user[order], epoch[order]
+        user_start = _segments(u)
+        gap = np.ones(len(e), dtype=bool)
+        gap[1:] = (e[1:] - e[:-1]) > SESSION_GAP_S
+        new_sess = user_start | gap
+        sess_starts = np.flatnonzero(new_sess)
+        # per-user 1-based session ids: global session ordinal minus the
+        # ordinal of the user's first session
+        sess_ord = np.cumsum(new_sess)  # 1-based global ordinal per row
+        user_first_ord = np.repeat(
+            sess_ord[np.flatnonzero(user_start)],
+            np.diff(np.append(np.flatnonzero(user_start), len(u))),
+        )
+        ends = np.append(sess_starts[1:], len(u))
+        return pa.table(
+            {
+                "user_id": pa.array(u[sess_starts]),
+                "session_id": pa.array(
+                    sess_ord[sess_starts] - user_first_ord[sess_starts] + 1
+                ),
+                "n_events": pa.array(ends - sess_starts),
+                "start_s": pa.array(e[sess_starts]),
+                "duration_s": pa.array(e[ends - 1] - e[sess_starts]),
+            }
+        )
+
+    return _by_bucket(ds, "user_id").map_groups(sessions_seg, batch_format="pyarrow")
 
 
 SESSIONIZE_SQL = f"""
