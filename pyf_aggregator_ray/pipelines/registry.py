@@ -32,8 +32,9 @@ _INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 # bump whenever the on-disk index layout, tokenizer rule, or scoring
 # contract changes incompatibly — stale caches then miss instead of
-# silently serving an old-format index
-ENGINE_FORMAT_VERSION = 2
+# silently serving an old-format index (v3: doc-range-bucketed
+# positions artifact)
+ENGINE_FORMAT_VERSION = 3
 
 
 def _config_fingerprint(cfg: EngineConfig) -> str:
