@@ -436,31 +436,46 @@ def refresh_merge(
             pass
         return v == "" or v == 0
 
-    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
-        new = g[g["_source"] == "new"]
+    def coalesce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE call per hash bucket (not per key): the old side collapses
+        to first-row-per-key, old values map onto new rows by key, and
+        the truthiness rules apply column-at-a-time — per-key Python
+        dispatch is gone (the round-3 verdict's per-group pandas
+        finding); only actually-coalesced cells pay a scalar assign
+        (list values would broadcast elementwise through .loc)."""
+        drop = ["_source", "_bucket"]
+        out = g[g["_source"] == "new"].copy()
         old = g[g["_source"] == "old"]
-        if new.empty:
-            return new.drop(columns=["_source"])  # key vanished upstream
-        out = new.copy()
-        if not old.empty:
-            old_row = old.iloc[0]
-            for f in preserved:
-                if f not in out.columns or f not in old.columns:
-                    continue
-                old_val = old_row[f]
-                # reference main.py:125: only truthy OLD values preserved
-                if is_empty(old_val):
-                    continue
-                # reference main.py:157: fresh absent-or-falsy coalesces
-                missing = out[f].apply(is_empty)
-                # .at per row: a list value assigned through .loc would
-                # broadcast elementwise when lengths collide; ndarray
-                # cells become plain lists (.at unwraps a 1-element
-                # array into a 0-d scalar)
-                if isinstance(old_val, np.ndarray):
-                    old_val = list(old_val)
-                for i in out.index[missing]:
-                    out.at[i, f] = old_val
-        return out.drop(columns=["_source"])
+        if out.empty or old.empty:
+            return out.drop(columns=drop)  # nothing to merge / key vanished
+        old_first = old.drop_duplicates(subset=[key], keep="first").set_index(key)
+        for f in preserved:
+            if f not in out.columns or f not in old_first.columns:
+                continue
+            old_vals = out[key].map(old_first[f])
+            present = out[key].isin(old_first.index)
+            # reference main.py:125 (truthy OLD) + :157 (fresh falsy)
+            mask = (
+                present
+                & out[f].apply(is_empty)
+                & ~old_vals.apply(is_empty)
+            )
+            for i in out.index[mask]:
+                v = old_vals[i]
+                out.at[i, f] = list(v) if isinstance(v, np.ndarray) else v
+        return out.drop(columns=drop)
 
-    return union.groupby(key).map_groups(coalesce, batch_format="pandas")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        b = np.array(
+            [zlib.crc32(s.encode()) % 64 for s in t[key].to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("_bucket", pa.array(b))
+
+    return (
+        union.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(coalesce_bucket, batch_format="pandas")
+    )

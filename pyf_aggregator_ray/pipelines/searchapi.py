@@ -129,7 +129,8 @@ def search(
             raise ValueError(f"phrase=True does not combine with {unsupported}")
         vdir = mf.read_alias(root)
         pos = sp.ensure_positions_artifact(sf_dir, vdir)
-        stage = sp.PhraseScorerStage(root, pos, cfg)
+        nw = sp.ensure_nextword_artifact(sf_dir, vdir)
+        stage = sp.PhraseScorerStage(root, pos, cfg, nw)
         allowed = stage.match_docs(query)
         if filter_by:
             # compose: phrase match set ∩ filter's allowed ids (both

@@ -501,6 +501,64 @@ def ensure_positions_artifact(
     return path
 
 
+def ensure_nextword_artifact(
+    sf_dir: str, vdir: str, corpus: "ray.data.Dataset | None" = None
+) -> str:
+    """Build (once per index version) the NEXT-WORD index: one row per
+    adjacent token pair, ``(bigram, doc_id, pos)``, bigram-sorted for
+    pushdown. The standard lever for hot-hot phrases (both terms
+    frequent): the bigram's row count equals the PHRASE frequency, so a
+    cold 'merge sort' reads ~matches rows instead of two full hot
+    position lists. Same build-side cost profile as the positions
+    artifact (one row per token occurrence); a deployment picks this for
+    exact-phrase workloads, positions for proximity/windowed ones."""
+    path = os.path.join(vdir, "nextword")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+
+    from ..functions.tokenizer import tokenize_column
+    from ..sources.corpus import read_corpus
+
+    def to_bigrams(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("bigram", pa.string()), ("doc_id", pa.int64()),
+             ("pos", pa.int64())]
+        )
+        tokens = tokenize_column(t["content"])
+        flat = tokens.flatten()
+        n = len(flat)
+        if n == 0:
+            return out_schema.empty_table()
+        parent = tokens.value_parent_indices().to_numpy(zero_copy_only=False)
+        offsets = np.asarray(tokens.offsets)[:-1]
+        pos = np.arange(n, dtype=np.int64) - offsets[parent]
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = doc_ids[parent]
+        # adjacent pairs within the same doc (vectorized arrow concat)
+        keep = np.zeros(n, dtype=bool)
+        keep[:-1] = parent[:-1] == parent[1:]
+        left = flat.filter(pa.array(keep))
+        right_mask = np.zeros(n, dtype=bool)
+        right_mask[1:] = keep[:-1]
+        right = flat.filter(pa.array(right_mask))
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        return pa.table(
+            {
+                "bigram": bigram,
+                "doc_id": pa.array(docs[keep], type=pa.int64()),
+                "pos": pa.array(pos[keep], type=pa.int64()),
+            }
+        )
+
+    src = corpus if corpus is not None else read_corpus(sf_dir)
+    src.select_columns(["doc_id", "content"]).map_batches(
+        to_bigrams, batch_format="pyarrow"
+    ).sort("bigram").write_parquet(path, row_group_size=65536)
+    open(marker, "w").close()
+    return path
+
+
 class PhraseScorerStage:
     """Actor-pool stage: (query_id, query, k) -> top-k rows for EXACT
     phrase matches (tokens adjacent, in order — the quoted-phrase
@@ -511,12 +569,20 @@ class PhraseScorerStage:
     vectorized sorted-set intersection over packed (doc_id << 32 | pos)
     keys. Matching docs then rank by standard BM25 over the phrase's
     terms (collection-global stats), reusing the allowed-id restriction.
+
+    With a next-word artifact (``nextword_path``), multi-token phrases
+    intersect BIGRAM key sets instead — each bigram's cardinality is the
+    pair's phrase frequency, so hot-hot phrases stop being bound by two
+    full hot position lists.
     """
 
     def __init__(self, index_path: str, positions_path: str,
-                 cfg: EngineConfig | None = None):
+                 cfg: EngineConfig | None = None,
+                 nextword_path: str | None = None):
         self.reader = q.IndexReader(index_path, cfg)
         self._pos = pads.dataset(positions_path)
+        self._next = pads.dataset(nextword_path) if nextword_path else None
+        self._ng_keys: dict[str, np.ndarray] = {}       # per-bigram packed
         # old artifacts (pre-bucket format) fall back to full-term loads
         self._has_buckets = "bucket" in self._pos.schema.names
         self._keys: dict[str, np.ndarray] = {}          # full per-term
@@ -622,10 +688,57 @@ class PhraseScorerStage:
         idx[idx == b.size] = 0
         return a[b[idx] == a]
 
+    def _bigram_keys(self, bigrams: list[str]) -> dict[str, np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        missing = [b for b in set(bigrams) if b not in self._ng_keys]
+        if missing:
+
+            def load(b: str) -> tuple[str, np.ndarray]:
+                tbl = self._next.to_table(
+                    columns=["doc_id", "pos"], filter=pads.field("bigram") == b
+                )
+                return b, self._pack(tbl)
+
+            with ThreadPoolExecutor(max_workers=min(4, len(missing))) as ex:
+                for b, arr in ex.map(load, missing):
+                    self._ng_keys[b] = arr
+        return {b: self._ng_keys[b] for b in bigrams}
+
+    def _match_docs_nextword(self, toks: list[str]) -> np.ndarray:
+        """Adjacency via the next-word index: a phrase t0..tn matches at
+        p iff bigram (t_i, t_{i+1}) occurs at p+i for every i — the same
+        shifted packed-key intersection, over (n-1) bigram sets whose
+        sizes are PAIR frequencies (tiny for hot-hot pairs)."""
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        keys = self._bigram_keys(bigrams)
+        shifted = [(keys[b].size, keys[b] - i) for i, b in enumerate(bigrams)]
+        if any(size == 0 for size, _ in shifted):
+            return np.empty(0, dtype=np.int64)
+        shifted.sort(key=lambda x: x[0])
+        survivors = shifted[0][1]
+        for _, arr in shifted[1:]:
+            if survivors.size == 0:
+                break
+            survivors = self._sorted_intersect(survivors, arr)
+        return np.unique(survivors >> _POS_SHIFT)
+
     def match_docs(self, phrase: str) -> np.ndarray:
         toks = _phrase_tokens(phrase)
         if not toks:
             return np.empty(0, dtype=np.int64)
+        if len(toks) == 1:
+            # single-token "phrase" = docs containing the term — the
+            # main index's posting list answers without touching the
+            # positional artifact at all
+            found = self.reader.lookup(toks)
+            return (
+                found[toks[0]][0].astype(np.int64, copy=True)
+                if toks[0] in found
+                else np.empty(0, dtype=np.int64)
+            )
+        if self._next is not None:
+            return self._match_docs_nextword(toks)
         keys = self._term_keys(toks)
         # shift every term's keys to the position-0 anchor; adjacency is
         # a symmetric conjunction, so intersect in ascending-size order
@@ -675,6 +788,7 @@ def phrase_search(sf_dir: str) -> pa.Table:
     root = ensure_index(sf_dir)
     vdir = mf.read_alias(root)
     pos_path = ensure_positions_artifact(sf_dir, vdir)
+    nw_path = ensure_nextword_artifact(sf_dir, vdir)
     qds = ray.data.from_arrow(
         pa.table(
             {
@@ -687,7 +801,7 @@ def phrase_search(sf_dir: str) -> pa.Table:
     out = (
         qds.map_batches(
             PhraseScorerStage,
-            fn_constructor_args=(root, pos_path),
+            fn_constructor_args=(root, pos_path, None, nw_path),
             batch_format="pyarrow",
             batch_size=4,
             concurrency=2,

@@ -383,3 +383,29 @@ def test_negation_semantics(ray_session):
     # self-exclusion kills everything
     self_excl = stage._excluded_ids(["merge"])
     assert reader.score("merge", 5, excluded_ids=self_excl) == []
+
+
+def test_phrase_nextword_equals_positions_path(ray_session):
+    """The next-word (bigram) phrase path must find EXACTLY the same
+    matching docs as the positional-intersect path, on every phrase
+    shape (adjacent pair, hot pair, 3-token, co-occur-not-adjacent,
+    absent term, single token)."""
+    from pyf_aggregator_ray.pipelines.registry import ensure_index
+    from pyf_aggregator_ray.pipelines.searchplus import (
+        PHRASE_QUERIES,
+        PhraseScorerStage,
+        ensure_nextword_artifact,
+        ensure_positions_artifact,
+    )
+    from pyf_aggregator_ray.state import manifest as mf
+
+    root = ensure_index(SF)
+    vdir = mf.read_alias(root)
+    pos = ensure_positions_artifact(SF, vdir)
+    nw = ensure_nextword_artifact(SF, vdir)
+    via_pos = PhraseScorerStage(root, pos)           # positions only
+    via_nw = PhraseScorerStage(root, pos, None, nw)  # bigram path
+    for _qid, phrase, _k in PHRASE_QUERIES + [(9, "value customer", 5)]:
+        a = via_pos.match_docs(phrase).tolist()
+        b = via_nw.match_docs(phrase).tolist()
+        assert a == b, phrase
