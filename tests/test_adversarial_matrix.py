@@ -239,3 +239,43 @@ def test_feed_filter_name_combination():
     added = {"title": "plone.volto added to PyPI"}
     assert parse_feed_entry(added, filter_name="volto") is not None
     assert parse_feed_entry(added, filter_name="flask") is None
+
+
+def test_scoped_values_with_special_characters(tmp_path, ray_session):
+    """Reference db.py:16-22 backtick-quotes filter values so names like
+    '@plone/volto' filter literally (tests/test_registry_isolation.py:
+    60-77). This engine's filters are structural (Arrow equality on the
+    column — no query-string parsing to inject into), which this pins:
+    scoped npm names, embedded spaces, quotes and '&&' in values all
+    filter and delete literally."""
+    from pyf_aggregator_ray.pipelines.searchplus import FilteredScorerStage
+
+    weird = ["@plone/volto", "a b c", "x'y\"z", "l && r", "plain"]
+    n = 100
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "repo": pa.array([weird[i % len(weird)] for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array([f"c{i:07d}" for i in range(n)]),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array([f"token alpha doc{i}" for i in range(n)]),
+        }
+    )
+    root = str(tmp_path / "weird_root")
+    cfg = EngineConfig(hot_df_threshold=20, salt_range_docs=40)
+    build_index("", root, cfg, corpus=ray.data.from_arrow(tbl), num_parts=4)
+
+    stage = FilteredScorerStage(root, cfg)
+    for v in ("@plone/volto", "a b c", "x'y\"z"):
+        allowed = set(stage._allowed_ids(f"repo:={v}").tolist())
+        want = {i for i in range(n) if weird[i % len(weird)] == v}
+        assert allowed == want, v
+    # '&&' inside a value cannot be expressed through the conjunction
+    # string syntax (it IS the separator) — the structural API takes it
+    ids = mx.delete_by_predicate(root, "repo", "l && r", cfg)
+    reader = IndexReader(root, cfg)
+    hits = {d for _, d, _ in reader.score("token", 200)}
+    gone = {i for i in range(n) if weird[i % len(weird)] == "l && r"}
+    assert not (hits & gone)
+    assert hits == set(range(n)) - gone
