@@ -121,21 +121,35 @@ class FieldDocStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         toks = tokenize_column(batch["text"])
-        ids = batch["doc_id"].to_pylist()
-        docs = []
-        for doc_id, words in zip(ids, toks.to_pylist()):
-            docs.append(
+        n = batch.num_rows
+        # vectorized doc_markdown: list_slice + binary_join replace the
+        # per-row Python dict/join loop on this hottest build stage
+        # (identical strings: " ".join of an empty slice is "")
+        part_a = pc.binary_join(pc.list_slice(toks, 0, PART_A_WORDS), " ")
+        part_b = pc.binary_join(
+            pc.list_slice(toks, PART_A_WORDS, PART_B_END), " "
+        )
+        part_c = pc.binary_join(pc.list_slice(toks, PART_B_END, 2**62), " ")
+        ids_str = pc.cast(batch["doc_id"], pa.string())
+        desc = pc.binary_join_element_wise(
+            "# Doc ", ids_str, "\n\n", part_a, "\n\n## Usage\n\n", part_b,
+            "\n\n## Changelog\n\n", part_c, "",
+        )
+        chained = self.chain(
+            pa.table(
                 {
-                    "doc_id": doc_id,
-                    "name": f"doc-{doc_id}",
-                    "version": "1.0.0",
-                    "summary": "",
-                    "description": doc_markdown(doc_id, words),
-                    "registry": "synthetic",
+                    "doc_id": batch["doc_id"],
+                    "name": pc.binary_join_element_wise("doc-", ids_str, ""),
+                    "version": pa.array(["1.0.0"] * n, type=pa.string()),
+                    "summary": pa.array([""] * n, type=pa.string()),
+                    "description": desc,
+                    "registry": pa.array(["synthetic"] * n, type=pa.string()),
                 }
             )
-        chained = self.chain(pa.Table.from_pylist(docs))
+        )
         return chained.select(
             ["doc_id", "name", "title", "first_chapter", "main_content", "changelog"]
         )
