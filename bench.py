@@ -208,7 +208,14 @@ def main() -> None:
         # capability estimate under external noise.
         amplify = int(os.environ.get("GRAFT_AMPLIFY", "600"))
         rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
-        lo, hi = 8, 32
+        # N and 4N parallelism levels. The default 8/32 pair saturates
+        # all 32 physical cores at the high level, so it additionally
+        # measures the single-box memory-bandwidth/turbo ceiling (the
+        # tokenize stage's per-core rate drops when every core is busy)
+        # — a 4/16 pair isolates pure core scaling, the closer stand-in
+        # for N vs 4N NODES where each node brings its own bandwidth.
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         samples = {lo: [], hi: []}
         last = {}
         for _ in range(rounds):

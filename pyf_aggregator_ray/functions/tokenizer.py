@@ -64,7 +64,13 @@ def term_frequencies(
     doc_arr = pa.array(np.asarray(doc_ids, dtype=np.int64))
     flat_docs = pc.take(doc_arr, parent)
     tbl = pa.table({"term": flat_terms, "doc_id": flat_docs})
-    out = tbl.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
+    # use_threads=False: this runs INSIDE a map_batches worker — the
+    # default spawns a full-size Acero thread pool PER worker (30 workers
+    # x 32 threads thrashed the 32-core box); Ray supplies the
+    # parallelism, the per-batch kernel must stay single-threaded
+    out = tbl.group_by(["term", "doc_id"], use_threads=False).aggregate(
+        [("doc_id", "count")]
+    )
     return out.rename_columns(["term", "doc_id", "tf"]).set_column(
         2, "tf", pc.cast(out.column(2), pa.int64())
     )

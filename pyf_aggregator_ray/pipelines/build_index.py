@@ -118,7 +118,7 @@ def estimate_hot_terms(
     toks = _tokens_ds(corpus.limit(n), cfg)
     # partial df per batch, then one tiny groupby — partial+final pattern
     partial = toks.map_batches(
-        lambda t: t.group_by("term")
+        lambda t: t.group_by("term", use_threads=False)
         .aggregate([("doc_id", "count")])
         .rename_columns(["term", "df_part"]),
         batch_format="pyarrow",

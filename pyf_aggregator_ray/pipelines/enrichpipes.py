@@ -51,7 +51,7 @@ def enrich_stats(sf_dir: str):
 
             chars = pc.cast(pc.utf8_length(t["content"]), pa.int64())
             tt = pa.table({key: t[key], "chars": chars})
-            out = tt.group_by(key).aggregate(
+            out = tt.group_by(key, use_threads=False).aggregate(
                 [("chars", "count"), ("chars", "sum")]
             )
             return out.rename_columns([key, "fc_part", "chars_part"])

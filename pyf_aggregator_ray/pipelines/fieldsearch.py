@@ -182,7 +182,7 @@ def field_tf_batch(batch: pa.Table) -> pa.Table:
         )
     agg = (
         pa.concat_tables(parts)
-        .group_by(["doc_id", "term"])
+        .group_by(["doc_id", "term"], use_threads=False)
         .aggregate([("tf", "sum")])
     )
     # attach each doc's wdl to its term rows by position lookup

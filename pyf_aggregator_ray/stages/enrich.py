@@ -36,7 +36,7 @@ def repo_stats(corpus: ray.data.Dataset) -> ray.data.Dataset:
 
         chars = pc.cast(pc.utf8_length(t["content"]), pa.int64())
         tt = pa.table({"repo": t["repo"], "chars": chars})
-        out = tt.group_by("repo").aggregate(
+        out = tt.group_by("repo", use_threads=False).aggregate(
             [("chars", "count"), ("chars", "sum")]
         )
         return out.rename_columns(["repo", "fc_part", "chars_part"])
