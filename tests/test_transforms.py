@@ -999,3 +999,56 @@ class TestCuratedPlugin:
         other = {"name": "not-in-the-map"}
         plugin_curated(other)
         assert (other["curated_score"], other["curated_domain"]) == (0, "")
+
+
+def test_classifier_predicate_reference_matrix():
+    """The full reference matrix for the classifier predicate
+    (/root/reference/tests/test_fetcher.py:46-114), composed the way the
+    reference composes it: raw registry JSON -> restructure -> prefix
+    predicate over the classifiers list."""
+    import pyf_aggregator_ray.functions.transforms as tf
+
+    prefixes = ["Framework :: Plone"]
+
+    def accepts(package_json) -> bool:
+        doc = tf.restructure_pypi_json(package_json)
+        if doc is None:
+            return False
+        return tf.has_classifier_prefix(doc.get("classifiers"), prefixes)
+
+    # exact classifier
+    assert accepts({"info": {"classifiers": ["Framework :: Plone"]}})
+    # subclassifier among others
+    assert accepts(
+        {"info": {"classifiers": [
+            "Development Status :: 5 - Production/Stable",
+            "Framework :: Plone :: 6.0",
+        ]}}
+    )
+    # multiple matching classifiers
+    assert accepts(
+        {"info": {"classifiers": [
+            "Framework :: Plone",
+            "Framework :: Plone :: 5.2",
+            "Framework :: Plone :: 6.0",
+        ]}}
+    )
+    # non-matching framework set
+    assert not accepts(
+        {"info": {"classifiers": [
+            "Framework :: Django", "Framework :: Flask",
+            "Framework :: Pyramid",
+        ]}}
+    )
+    # empty classifiers list / missing classifiers key
+    assert not accepts({"info": {"classifiers": []}})
+    assert not accepts({"info": {"name": "test"}})
+    # missing info section / empty dict / None — no error, just False
+    assert not accepts({"urls": []})
+    assert not accepts({})
+    assert not accepts(None)
+    # prefix is a PREFIX match, not substring: trailing context matches,
+    # leading context must not
+    assert not accepts(
+        {"info": {"classifiers": ["Legacy :: Framework :: Plone"]}}
+    )
