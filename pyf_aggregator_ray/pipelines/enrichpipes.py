@@ -160,20 +160,66 @@ def package_transform(sf_dir: str):
     )
 
 
+LATEST_N_BUCKETS = 64
+
+
+def latest_newest_seg(g: "pa.Table") -> "pa.Table":
+    """One vectorized argmax pass over ALL package names in a bucket:
+    lexsort (name, version_sortable desc, version asc), keep each name
+    segment's first row. String columns sort via np.unique factor codes
+    (lexicographic — identical to the pandas sort it replaces). Per-name
+    Python cost is gone; kernel cost is O(rows log rows) per bucket
+    regardless of name cardinality (the ``_by_bucket`` segmented-kernel
+    pattern of pipelines/relational.py:36-60)."""
+    import numpy as np
+    import pyarrow as pa
+
+    cols = ["name", "version", "version_sortable"]
+    if g.num_rows == 0:
+        return g.select(cols)
+    name = g["name"].to_numpy(zero_copy_only=False)
+    vs = g["version_sortable"].to_numpy(zero_copy_only=False)
+    ver = g["version"].to_numpy(zero_copy_only=False)
+    n_codes = np.unique(name, return_inverse=True)[1]
+    vs_codes = np.unique(vs, return_inverse=True)[1]
+    v_codes = np.unique(ver, return_inverse=True)[1]
+    order = np.lexsort((v_codes, -vs_codes, n_codes))
+    sorted_n = n_codes[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = sorted_n[1:] != sorted_n[:-1]
+    sel = order[first]
+    return g.select(cols).take(pa.array(np.sort(sel)))
+
+
 def latest_version_per_package(sf_dir: str):
     """T1/T2: 'latest' semantics — newest version per package by
     version_sortable desc (reference sort_by version_sortable:desc,
     README.md:989-1008; tested against PyPI 'latest' in the reference's
-    live-sorting suite). Rows-only; golden-tested in test_transforms."""
+    live-sorting suite). Rows-only; golden-tested in test_transforms.
+
+    Scale shape: hash names into coarse buckets, shuffle ONCE on the
+    bucket, then one segmented-numpy argmax kernel per bucket — no
+    per-name pandas dispatch (round-4 verdict finding #2)."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     transformed = package_transform(sf_dir)
 
-    def newest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["version_sortable", "version"], ascending=[False, True])
-        return g.head(1)[["name", "version", "version_sortable"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["name"].to_numpy(zero_copy_only=False).astype(object)
+        )
+        return t.append_column(
+            "bucket",
+            pa.array((h % np.uint64(LATEST_N_BUCKETS)).astype(np.int64)),
+        )
 
-    return transformed.groupby("name").map_groups(newest, batch_format="pandas")
+    return (
+        transformed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(latest_newest_seg, batch_format="pyarrow")
+    )
 
 
 def _sql_quote(s) -> str:

@@ -55,19 +55,26 @@ def search(
     query: str,
     *,
     k: int = 10,
+    page: int = 1,
     filter_by: str | None = None,
     group_by: bool = False,
     num_typos: int = 0,
     sort_by: str = "score",
     phrase: bool = False,
     query_vec_id: int | None = None,
+    include_snippets: bool = False,
     cfg: EngineConfig | None = None,
 ) -> pa.Table:
     """One query through the engine; returns the ranked hits table.
 
     The composed default path returns (query_id, rank, repo, doc_id,
     score, dl); the phrase and hybrid modes return their dedicated
-    pipelines' schemas."""
+    pipelines' schemas. ``page`` is the reference's ``per_page`` + ``page``
+    pagination (``db.py:266-290,377-401``): 1-based, window of ``k`` rows,
+    ranks stay global. ``include_snippets`` attaches per-hit highlights
+    (first_pos, snippet) — the reference returns Typesense
+    ``highlight_*`` fields with every hit — to composed and phrase
+    results."""
     from ..state import manifest as mf
     from . import hybrid as hy
     from . import searchplus as sp
@@ -76,6 +83,8 @@ def search(
         raise ValueError(f"sort_by must be 'score' or 'dl', got {sort_by!r}")
     if num_typos not in (0, 1, 2):
         raise ValueError(f"num_typos must be 0, 1 or 2, got {num_typos!r}")
+    if page < 1:
+        raise ValueError(f"page must be >= 1, got {page!r}")
 
     root = ensure_index(sf_dir, cfg)
     batch = pa.table(
@@ -92,7 +101,8 @@ def search(
             for name, on in [
                 ("filter_by", filter_by), ("group_by", group_by),
                 ("num_typos", num_typos), ("phrase", phrase),
-                ("sort_by", sort_by != "score"),
+                ("sort_by", sort_by != "score"), ("page", page != 1),
+                ("include_snippets", include_snippets),
             ]
             if on
         ]
@@ -142,8 +152,12 @@ def search(
             )
         from ..functions.rounding import round6
 
-        rows = stage.reader.score(query, k, allowed_ids=allowed)
-        return pa.table(
+        # pagination by slicing the ranked prefix: score to depth
+        # page*k, keep the window (ranks stay global)
+        rows = stage.reader.score(query, page * k, allowed_ids=allowed)[
+            (page - 1) * k :
+        ]
+        out = pa.table(
             {
                 "query_id": pa.array([0] * len(rows), pa.int64()),
                 "rank": pa.array([r for r, _, _ in rows], pa.int64()),
@@ -153,14 +167,21 @@ def search(
                 ),
             }
         )
+        if include_snippets:
+            from ..functions.tokenizer import tokenize_query
+
+            out = attach_snippets(sf_dir, out, tokenize_query(query))
+        return out
 
     # composed default: filter + group + typo + sort + inline negation
     # around one scorer pass
     stage = sp.ComposableScorerStage(root, cfg)
-    rows = stage.run_one(query, k, filter_by or "", group_by, num_typos, sort_by)
+    rows = stage.run_one(
+        query, k, filter_by or "", group_by, num_typos, sort_by, page
+    )
     from ..functions.rounding import round6
 
-    return pa.table(
+    out = pa.table(
         {
             "query_id": pa.array([0] * len(rows), pa.int64()),
             "rank": pa.array([r for r, *_ in rows], pa.int64()),
@@ -173,3 +194,50 @@ def search(
         },
         schema=_COMPOSED_SCHEMA,
     )
+    if include_snippets:
+        from ..functions.tokenizer import tokenize_query
+        from .searchplus import parse_negation
+
+        positive, _neg = parse_negation(query)
+        if num_typos > 0:
+            positive = stage._expand_typos(positive, num_typos)
+        out = attach_snippets(sf_dir, out, tokenize_query(positive))
+    return out
+
+
+SNIPPET_LEN = 40
+
+
+def attach_snippets(
+    sf_dir: str, hits: pa.Table, terms: list[str], snippet_len: int = SNIPPET_LEN
+) -> pa.Table:
+    """Append (first_pos, snippet) highlight columns to a hits table —
+    the reference returns Typesense ``highlight_*`` fields on every
+    search hit. ``first_pos`` is the 1-based position of the earliest
+    occurrence of any query term in the hit's text (0 when no term
+    occurs as a substring, e.g. after typo expansion matched a variant);
+    the snippet is a fixed-width slice from it. Only the HIT docs' texts
+    are read (pushdown filter on doc_id — content never ships for
+    non-hits; same contract as registry.bm25_snippets)."""
+    import pyarrow.dataset as pads
+
+    if hits.num_rows == 0:
+        return hits.append_column(
+            "first_pos", pa.array([], pa.int64())
+        ).append_column("snippet", pa.array([], pa.string()))
+    ids = sorted({int(d) for d in hits["doc_id"].to_pylist()})
+    texts = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(ids)
+    )
+    tmap = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    poss, snips = [], []
+    for d in hits["doc_id"].to_pylist():
+        text = tmap.get(int(d), "") or ""
+        low = text.lower()
+        cand = [p for p in (low.find(t) + 1 for t in terms) if p > 0]
+        first = min(cand) if cand else 0
+        poss.append(first)
+        snips.append(text[first - 1 : first - 1 + snippet_len] if first else "")
+    return hits.append_column(
+        "first_pos", pa.array(poss, type=pa.int64())
+    ).append_column("snippet", pa.array(snips, type=pa.string()))

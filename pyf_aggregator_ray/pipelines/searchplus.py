@@ -1074,16 +1074,23 @@ ORDER BY query_id, rank
 # filtered in a single search — and :403-426 — filtered+sorted)
 # ---------------------------------------------------------------------------
 
-# (query_id, query, k, lang-filter | None, group_by, num_typos, sort_by)
-# sort_by: 'score' (relevance) or 'dl' (document field, desc — the
-# reference's sort_by upload_timestamp:desc analog).
-COMPOSABLE_QUERIES: list[tuple[int, str, int, str | None, bool, int, str]] = [
-    (0, "merge sort", 5, "en", True, 0, "score"),   # filter + group
-    (1, "mergw sorrt", 5, "en", True, 2, "score"),  # typo + filter + group
-    (2, "the", 5, None, True, 0, "dl"),             # group + sort_by field
-    (3, "customer value", 10, "de", False, 0, "dl"),  # filter + sort_by
-    (4, "sparc", 10, "en", True, 1, "score"),       # typo + filter + group
-    (5, "qqqqqq", 5, "en", True, 2, "score"),       # empty typo expansion
+# (query_id, query, k, lang-filter | None, group_by, num_typos, sort_by,
+#  page). sort_by: 'score' (relevance) or 'dl' (document field, desc —
+# the reference's sort_by upload_timestamp:desc analog); page: 1-based
+# result page (the reference paginates EVERY retrieval with per_page +
+# page loops, db.py:266-290,320-345,377-401 — rank stays the global
+# rank, the window is rows (page-1)*k+1 .. page*k).
+COMPOSABLE_QUERIES: list[
+    tuple[int, str, int, str | None, bool, int, str, int]
+] = [
+    (0, "merge sort", 5, "en", True, 0, "score", 1),   # filter + group
+    (1, "mergw sorrt", 5, "en", True, 2, "score", 1),  # typo + filter + group
+    (2, "the", 5, None, True, 0, "dl", 1),             # group + sort_by field
+    (3, "customer value", 10, "de", False, 0, "dl", 1),  # filter + sort_by
+    (4, "sparc", 10, "en", True, 1, "score", 1),       # typo + filter + group
+    (5, "qqqqqq", 5, "en", True, 2, "score", 1),       # empty typo expansion
+    (6, "the", 5, None, False, 0, "score", 2),         # page 2: hits 6-10
+    (7, "merge sort", 3, None, True, 0, "score", 2),   # page 2 of grouped
 ]
 
 
@@ -1168,11 +1175,13 @@ class ComposableScorerStage:
     # -- one composed query -----------------------------------------------
     def run_one(
         self, query: str, k: int, filter_by: str, group_by: bool,
-        num_typos: int, sort_by: str,
+        num_typos: int, sort_by: str, page: int = 1,
     ) -> list[tuple[int, str, int, float, int]]:
         """-> [(rank, repo, doc_id, score, dl)]. Inline ``-term``
         negation composes too: exclusions parse out of the query, typo
-        expansion applies to the positive terms only."""
+        expansion applies to the positive terms only. ``page`` offsets
+        into the ranked array ((page-1)*k rows skipped; ranks stay
+        global) — the reference's per_page+page pagination."""
         query, neg = parse_negation(query)
         if num_typos > 0:
             query = self._expand_typos(query, num_typos)
@@ -1220,15 +1229,22 @@ class ComposableScorerStage:
             sel = order[first]
         else:
             sel = np.arange(len(uniq))
-        top = sel[np.lexsort((uniq[sel], -sort_key[sel]))][:k]
+        offset = (max(1, page) - 1) * k
+        top = sel[np.lexsort((uniq[sel], -sort_key[sel]))][offset : offset + k]
         return [
-            (r + 1, self._names[gid[i]], int(uniq[i]), float(sc[i]), int(dls[i]))
+            (offset + r + 1, self._names[gid[i]], int(uniq[i]), float(sc[i]),
+             int(dls[i]))
             for r, i in enumerate(top)
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, repos, docs, scores, dls = [], [], [], [], [], []
-        for qid, query, k, filt, grp, typos, sort_by in zip(
+        pages = (
+            batch["page"].to_pylist()
+            if "page" in batch.column_names
+            else [1] * batch.num_rows
+        )
+        for qid, query, k, filt, grp, typos, sort_by, page in zip(
             batch["query_id"].to_pylist(),
             batch["query"].to_pylist(),
             batch["k"].to_pylist(),
@@ -1236,9 +1252,10 @@ class ComposableScorerStage:
             batch["group_by"].to_pylist(),
             batch["num_typos"].to_pylist(),
             batch["sort_by"].to_pylist(),
+            pages,
         ):
             for rank, repo, doc_id, score, dl in self.run_one(
-                query, k, filt, bool(grp), int(typos), sort_by
+                query, k, filt, bool(grp), int(typos), sort_by, int(page)
             ):
                 qids.append(qid)
                 ranks.append(rank)
@@ -1275,6 +1292,7 @@ def composable_search(sf_dir: str) -> pa.Table:
                 "group_by": pa.array([p[4] for p in COMPOSABLE_QUERIES], pa.bool_()),
                 "num_typos": pa.array([p[5] for p in COMPOSABLE_QUERIES], pa.int64()),
                 "sort_by": pa.array([p[6] for p in COMPOSABLE_QUERIES], pa.string()),
+                "page": pa.array([p[7] for p in COMPOSABLE_QUERIES], pa.int64()),
             }
         )
     )
@@ -1294,13 +1312,14 @@ def composable_search(sf_dir: str) -> pa.Table:
 
 
 def composable_search_sql(
-    queries: list[tuple[int, str, int, str | None, bool, int, str]] | None = None,
+    queries: list[tuple[int, str, int, str | None, bool, int, str, int]] | None = None,
     cfg: EngineConfig | None = None,
 ) -> str:
     """Oracle for the composed parameters: levenshtein term expansion at
     the typo budget (lev <= 0 degenerates to exact match), equality
     filter before ranking, best-per-group collapse by the sort key,
-    ranking by the sort key (score desc or dl desc, doc_id tiebreak)."""
+    ranking by the sort key (score desc or dl desc, doc_id tiebreak),
+    pagination via the global-rank window (LIMIT k OFFSET (page-1)*k)."""
     queries = queries or COMPOSABLE_QUERIES
     cfg = cfg or DEFAULT
 
@@ -1308,8 +1327,8 @@ def composable_search_sql(
         return q._sql_quote(v) if v is not None else "CAST(NULL AS VARCHAR)"
 
     values = ",\n    ".join(
-        f"({qid}, {q._sql_quote(text)}, {k}, {_lit(lang)}, {str(grp).upper()}, {typos}, {q._sql_quote(sort_by)})"
-        for qid, text, k, lang, grp, typos, sort_by in queries
+        f"({qid}, {q._sql_quote(text)}, {k}, {_lit(lang)}, {str(grp).upper()}, {typos}, {q._sql_quote(sort_by)}, {page})"
+        for qid, text, k, lang, grp, typos, sort_by, page in queries
     )
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -1324,7 +1343,7 @@ stats AS (
          (SELECT sum(dl) * 1.0 FROM dl) / (SELECT count(*) FROM corpus) AS avgdl
 ),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-queries(query_id, query, k, f_lang, grp, typos, sort_by) AS (VALUES
+queries(query_id, query, k, f_lang, grp, typos, sort_by, page) AS (VALUES
     {values}
 ),
 qtoks AS (
@@ -1377,9 +1396,11 @@ ranked AS (
          ) AS rnk
   FROM rep WHERE rn = 1
 )
-SELECT query_id, rnk AS rank, repo, doc_id, {sql_round6('score')} AS score, dl
-FROM ranked WHERE rnk <= k
-ORDER BY query_id, rank
+SELECT r.query_id, r.rnk AS rank, r.repo, r.doc_id,
+       {sql_round6('r.score')} AS score, r.dl
+FROM ranked r JOIN queries qq ON qq.query_id = r.query_id
+WHERE r.rnk > (qq.page - 1) * qq.k AND r.rnk <= qq.page * qq.k
+ORDER BY r.query_id, rank
 """
 
 
