@@ -130,6 +130,51 @@ def run_bench() -> dict:
         cold_set_sec = -1.0
         curation_sec = -1.0
 
+    sharded = None
+    if os.environ.get("GRAFT_SHARDED"):
+        # evidence for the O(shard) query-path contract: derive the
+        # doc-range-sharded postings, run the query set through the
+        # distributed sharded path, and report per-shard artifact bytes
+        # + the resident posting-cache bytes of ONE shard reader after
+        # serving the full query set (vs the exhaustive reader's cache)
+        from pyf_aggregator_ray.pipelines import shardquery as sq
+        from pyf_aggregator_ray.state import manifest as _mf
+
+        vdir = _mf.read_alias(index_root)
+        t = time.perf_counter()
+        art, smeta = sq.ensure_sharded_postings(vdir)
+        shard_art_sec = time.perf_counter() - t
+        t = time.perf_counter()
+        sq.run_query_set_sharded(index_root).count()
+        sharded_qs_sec = time.perf_counter() - t
+        shard_bytes = {}
+        for s in smeta["shards"]:
+            d = os.path.join(art, f"shard={s}")
+            shard_bytes[s] = sum(
+                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+            )
+        r = sq.ShardReader(vdir, smeta["shards"][0], smeta["shard_width"])
+        for _, query, k in QUERY_SET:
+            r.topk(query, k)
+        resident = sum(
+            a.nbytes for pair in r._cache.values() for a in pair
+        )
+        exh_resident = sum(
+            arr.nbytes
+            for ids, contrib, _df in reader._cache.values()
+            for arr in (ids, contrib)
+        )
+        sharded = {
+            "num_shards": len(smeta["shards"]),
+            "shard_width": smeta["shard_width"],
+            "artifact_build_sec": round(shard_art_sec, 3),
+            "query_set_sec": round(sharded_qs_sec, 3),
+            "max_shard_bytes": max(shard_bytes.values()),
+            "total_shard_bytes": sum(shard_bytes.values()),
+            "one_shard_reader_resident_bytes": resident,
+            "exhaustive_reader_resident_bytes": exh_resident,
+        }
+
     stats = manifest["stats"]
     metrics = manifest["metrics"]
     result = {
@@ -156,23 +201,48 @@ def run_bench() -> dict:
         "num_hot_terms": metrics["num_hot_terms"],
         "amplify": amplify,
     }
+    if sharded is not None:
+        result["sharded"] = sharded
     shutil.rmtree(index_root, ignore_errors=True)
     ray.shutdown()
     return result
 
 
+def _proc_stat_busy_sec() -> float:
+    """Machine-wide busy cpu-seconds from /proc/stat (all fields except
+    idle+iowait). Sampled before/after a child run on an otherwise-idle
+    box, the delta is the run's total cpu-seconds across every Ray
+    worker — the denominator for cpu-normalized scaling efficiency."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    return busy / os.sysconf("SC_CLK_TCK")
+
+
 def run_at(ncpu: int, amplify: int | None = None) -> dict:
+    """One fresh-process run at ``ncpu`` CPUs. The child is PINNED to a
+    fixed cpuset (cores 0..ncpu-1) so a low-CPU child cannot ride
+    whole-socket turbo/bandwidth while the high-CPU child pays the
+    full-socket memory ceiling — the round-4 scaling-measurement
+    artifact. Disable with GRAFT_PIN_CPUS=0."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CHILD="1")
     if amplify is not None:
         env["GRAFT_AMPLIFY"] = str(amplify)
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if os.environ.get("GRAFT_PIN_CPUS", "1") != "0" and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+    cpu0 = _proc_stat_busy_sec()
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
         check=True,
     ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    result = json.loads(out.strip().splitlines()[-1])
+    result["cpu_sec"] = round(_proc_stat_busy_sec() - cpu0, 1)
+    return result
 
 
 def run_headline_min_of_n() -> dict:
@@ -217,14 +287,22 @@ def main() -> None:
         lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
         hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         samples = {lo: [], hi: []}
+        cpu_samples = {lo: [], hi: []}
         last = {}
         for _ in range(rounds):
             for n in (lo, hi):
                 r = run_at(n, amplify)
                 samples[n].append(r["value"])
+                cpu_samples[n].append(r["cpu_sec"])
                 last[n] = r
         t_lo, t_hi = min(samples[lo]), min(samples[hi])
         eff = (t_lo / t_hi) / (hi / lo)
+        # cpu-normalized efficiency: same work, so the ratio of total
+        # cpu-seconds burned (lo/hi) isolates per-core slowdown at full
+        # occupancy from scheduling losses; 1.0 = the hi-level run costs
+        # no extra cpu per doc
+        c_lo, c_hi = min(cpu_samples[lo]), min(cpu_samples[hi])
+        cpu_eff = round(c_lo / c_hi, 3) if c_hi > 0 else None
         print(
             json.dumps(
                 {
@@ -235,6 +313,13 @@ def main() -> None:
                     "sec_32": t_hi,
                     "samples_8": samples[lo],
                     "samples_32": samples[hi],
+                    "cpu_sec_8": c_lo,
+                    "cpu_sec_32": c_hi,
+                    "cpu_samples_8": cpu_samples[lo],
+                    "cpu_samples_32": cpu_samples[hi],
+                    "cpu_normalized_efficiency": cpu_eff,
+                    "pinned_cpusets": os.environ.get("GRAFT_PIN_CPUS", "1")
+                    != "0",
                     "docs_per_sec_8": round(last[lo]["docs"] / t_lo, 1),
                     "docs_per_sec_32": round(last[hi]["docs"] / t_hi, 1),
                     "queries": {

@@ -108,31 +108,23 @@ ORDER BY c.doc_id
 """
 
 
-@ray.remote
-def _weight_map_task(*tables) -> dict:
-    """Assemble the doc->weight map inside a Ray task: the map lives in
-    the object store and is read once per scorer actor — the driver only
-    holds the ref."""
-    out: dict[int, float] = {}
-    for t in tables:
-        if t.num_rows:
-            out.update(zip(t["doc_id"].to_pylist(), t["weight"].to_pylist()))
-    return out
-
-
 def weighted_bm25(sf_dir: str):
     """BM25 with enrichment-derived per-document weight multipliers —
-    the reference's weighted-field ranking folded into our scorer."""
+    the reference's weighted-field ranking folded into our scorer.
+    Served by the doc-id-sharded path; weights travel as ONE pair of
+    sorted numpy arrays in the object store (zero-copy per worker), not
+    a per-actor dict replica."""
     import pyarrow as pa
 
+    from . import shardquery as sq
     from .registry import ensure_index
 
     root = ensure_index(sf_dir)
     corpus = read_corpus(sf_dir)
-    wref = _weight_map_task.remote(
+    wref = sq.weight_arrays_task.remote(
         *enrich.doc_weights_table(corpus).to_arrow_refs()
     )
-    ds = q.run_query_set(root, doc_weights=wref)
+    ds = sq.run_query_set_sharded(root, weights_ref=wref)
     out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

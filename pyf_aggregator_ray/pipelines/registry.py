@@ -81,8 +81,14 @@ def ensure_index(sf_dir: str, cfg: EngineConfig | None = None) -> str:
 
 
 def bm25_topk(sf_dir: str) -> pa.Table:
+    """Flagship ranked retrieval — served by the doc-id-SHARDED query
+    path (per-shard scorer tasks own disjoint doc ranges and O(shard)
+    state; global top-k merge): the 100 TB execution shape, rank- and
+    score-identical to the exhaustive scorer (tests/test_shardquery)."""
+    from . import shardquery as sq
+
     root = ensure_index(sf_dir)
-    ds = q.run_query_set(root)
+    ds = sq.run_query_set_sharded(root)
     out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -1276,34 +1276,16 @@ class ComposableScorerStage:
 
 
 def composable_search(sf_dir: str) -> pa.Table:
+    """Driver entry — served by the doc-id-SHARDED composable path
+    (per-shard tasks hold O(shard) doc metadata + postings; tie-safe
+    global merge), result-identical to the in-process
+    ComposableScorerStage (tests/test_shardquery.py)."""
     from .registry import ensure_index
+    from .shardquery import run_composable_sharded
 
     root = ensure_index(sf_dir)
-    qds = ray.data.from_arrow(
-        pa.table(
-            {
-                "query_id": pa.array([p[0] for p in COMPOSABLE_QUERIES], pa.int64()),
-                "query": pa.array([p[1] for p in COMPOSABLE_QUERIES], pa.string()),
-                "k": pa.array([p[2] for p in COMPOSABLE_QUERIES], pa.int64()),
-                "filter_by": pa.array(
-                    [_filter_by_string(p[3], None) for p in COMPOSABLE_QUERIES],
-                    pa.string(),
-                ),
-                "group_by": pa.array([p[4] for p in COMPOSABLE_QUERIES], pa.bool_()),
-                "num_typos": pa.array([p[5] for p in COMPOSABLE_QUERIES], pa.int64()),
-                "sort_by": pa.array([p[6] for p in COMPOSABLE_QUERIES], pa.string()),
-                "page": pa.array([p[7] for p in COMPOSABLE_QUERIES], pa.int64()),
-            }
-        )
-    )
     out = (
-        qds.map_batches(
-            ComposableScorerStage,
-            fn_constructor_args=(root,),
-            batch_format="pyarrow",
-            batch_size=4,
-            concurrency=2,
-        )
+        run_composable_sharded(root, COMPOSABLE_QUERIES)
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
