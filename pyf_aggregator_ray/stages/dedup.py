@@ -441,14 +441,23 @@ def _unique_pairs_task(*tables: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _shingle_sets_task(*tables: pa.Table) -> dict:
-    """doc_id -> sorted int64 codes of its distinct shingles, built from
-    candidate-restricted (doc_id, shingle) rows. Codes come from ONE
-    dictionary-encode over the restricted rows — exact string identity
-    (no hash collisions), bounded by the candidate docs' shingle count."""
+def _shingle_sets_task(
+    *tables: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate docs' distinct-shingle sets PACKED as three parallel
+    numpy arrays — (doc_ids sorted asc, offsets, concatenated per-doc
+    sorted codes) — built from candidate-restricted (doc_id, shingle)
+    rows. Codes come from ONE dictionary-encode over the restricted rows
+    — exact string identity (no hash collisions), bounded by the
+    candidate docs' shingle count. The packed layout (a) comes back
+    zero-copy from the object store per worker and (b) feeds the fully
+    vectorized pair-intersect kernel in the verify stage."""
+    empty = (
+        np.empty(0, np.int64), np.zeros(1, np.int64), np.empty(0, np.int64)
+    )
     tbls = [t for t in tables if t.num_rows]
     if not tbls:
-        return {}
+        return empty
     t = pa.concat_tables(tbls)
     arr = t["shingle"].combine_chunks().dictionary_encode()
     codes = arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -459,8 +468,23 @@ def _shingle_sets_task(*tables: pa.Table) -> dict:
     change[0] = True
     change[1:] = ids_s[1:] != ids_s[:-1]
     starts = np.flatnonzero(change)
-    ends = np.concatenate([starts[1:], [len(ids_s)]])
-    return {int(ids_s[s]): codes_s[s:e] for s, e in zip(starts, ends)}
+    offsets = np.concatenate([starts, [len(ids_s)]]).astype(np.int64)
+    return ids_s[starts], offsets, codes_s
+
+
+def _take_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized gather-indices for concatenated ranges
+    [starts[i], starts[i]+lens[i]) — the range-concat idiom (no Python
+    loop over ranges)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    cum = np.cumsum(lens) - lens
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(cum, lens)
+        + np.repeat(starts, lens)
+    )
 
 
 def pair_jaccard_candidates(
@@ -495,21 +519,61 @@ def pair_jaccard_candidates(
     pairs_tbl_ref = _unique_pairs_task.remote(*cand_pairs.to_arrow_refs())
 
     def verify_batch(t: pa.Table) -> pa.Table:
+        """ONE concatenated sorted-intersect pass for the whole batch of
+        pairs (no Python loop per pair, the round-4 watch item): each
+        pair's code arrays get a disjoint key offset (pair_index *
+        n_codes), the offset B-sides concatenate into one globally
+        sorted array, one searchsorted of the offset A-sides against it
+        counts matches, and a segment-reduce per pair yields |A∩B|."""
         if t.num_rows == 0:
             return _empty_pairs("jaccard", pa.float64())
-        sets = ray.get(sets_ref)
+        set_ids, offsets, codes = ray.get(sets_ref)
         a_ids = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b_ids = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        j = np.empty(len(a_ids), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
-            sa = sets.get(int(a))
-            sb = sets.get(int(b))
-            if sa is None or sb is None:
-                j[i] = 0.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j[i] = inter / union if union else 0.0
+        n = len(a_ids)
+        j = np.zeros(n, dtype=np.float64)
+        if len(set_ids):
+            sizes = offsets[1:] - offsets[:-1]
+
+            def locate(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                pos = np.searchsorted(set_ids, ids)
+                clamped = np.minimum(pos, len(set_ids) - 1)
+                ok = set_ids[clamped] == ids
+                return clamped, ok
+
+            pa_pos, a_ok = locate(a_ids)
+            pb_pos, b_ok = locate(b_ids)
+            ok = a_ok & b_ok
+            okp = np.flatnonzero(ok)
+            if len(okp):
+                na = sizes[pa_pos[okp]]
+                nb = sizes[pb_pos[okp]]
+                # per-pair disjoint key spaces so ONE searchsorted serves
+                # every pair at once; guard the packing against overflow
+                span = int(codes.max()) + 1 if len(codes) else 1
+                if len(okp) * span >= 2**62:
+                    raise ValueError(
+                        "pair x code key space would overflow int64"
+                    )
+                rep_a = np.repeat(np.arange(len(okp), dtype=np.int64), na)
+                rep_b = np.repeat(np.arange(len(okp), dtype=np.int64), nb)
+                acat = codes[_take_ranges(offsets[pa_pos[okp]], na)] + rep_a * span
+                bcat = codes[_take_ranges(offsets[pb_pos[okp]], nb)] + rep_b * span
+                pos = np.searchsorted(bcat, acat)
+                clamped = np.minimum(pos, max(len(bcat) - 1, 0))
+                match = (
+                    (pos < len(bcat)) & (bcat[clamped] == acat)
+                    if len(bcat)
+                    else np.zeros(len(acat), dtype=bool)
+                )
+                a_starts = np.cumsum(na) - na
+                inter = np.add.reduceat(match, a_starts) if len(acat) else np.zeros(len(okp), np.int64)
+                # reduceat quirk: a zero-length segment copies the next
+                # element — impossible here (every candidate set has >=1
+                # shingle by construction), asserted cheaply
+                assert (na > 0).all() and (nb > 0).all()
+                union = na + nb - inter
+                j[okp] = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep_m = j >= threshold
         return pa.table(
             {
