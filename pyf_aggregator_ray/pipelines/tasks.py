@@ -1,0 +1,224 @@
+"""Incremental task semantics — the reference's Celery task surface as
+batch functions.
+
+The reference drives its incremental path through Celery tasks with a
+structured status contract (``/root/reference/src/pyf/aggregator/
+queue.py:147-248`` ``inspect_project``, ``:250-330`` ``update_project``,
+``:591-724`` the RSS feed readers): every outcome is a dict with
+``status`` (skipped | indexed), a ``reason`` for skips (no package_id /
+fetch_failed / no_plone_classifier / no_info), and identifiers of the
+form ``{package_id}-{version}``. Partial failure is PER ENTRY — a bad
+entry yields a skip row, it never aborts the run.
+
+Here the same contract is an offline, batchable classification: the
+"PyPI JSON fetch" is a lookup into a package-metadata table (a missing
+package is the 404 analog), and the statuses come back as rows — one
+per entry — from a ``map_batches`` stage, so a feed batch with broken
+entries still indexes every good one (the Celery retry/partial-failure
+semantics, minus the network). The RSS dedup-before-queue semantics
+(Redis ``SET NX``; a dedup-store FAILURE queues anyway — availability
+over exactly-once, ``queue.py:617-660``) are ``queue_from_feed``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions import transforms as tf
+from .incremental import parse_feed_entry
+
+PLONE_PREFIXES = ["Framework :: Plone"]
+
+
+class PackageLookup:
+    """The sandbox analog of the PyPI JSON API: (package_id[, release_id])
+    -> package_json-shaped dict, backed by an Arrow packages table.
+    Missing package/release == fetch failure (the 404 analog)."""
+
+    def __init__(self, packages: pa.Table):
+        self._rows: dict[tuple[str, str | None], dict] = {}
+        self._latest: dict[str, dict] = {}
+        for row in packages.to_pylist():
+            name, version = row.get("name"), row.get("version")
+            self._rows[(name, version)] = row
+            cur = self._latest.get(name)
+            ts = row.get("upload_timestamp") or 0
+            if cur is None or ts >= (cur.get("upload_timestamp") or 0):
+                self._latest[name] = row
+
+    def get_json(self, package_id: str, release_id: str | None = None) -> dict | None:
+        row = (
+            self._rows.get((package_id, release_id))
+            if release_id
+            else self._latest.get(package_id)
+        )
+        if row is None:
+            return None
+        # package_json shape: info section + root-level urls
+        info = dict(row)
+        return {"info": info, "urls": info.pop("urls", []) or []}
+
+
+def inspect_project(package_data: dict, lookup: PackageLookup) -> dict:
+    """``inspect_project`` status contract (queue.py:147-248): fetch,
+    require the Plone classifier, restructure, clean, return the indexed
+    doc. Every failure is a structured skip — never an exception."""
+    package_id = package_data.get("package_id")
+    release_id = package_data.get("release_id")
+    timestamp = package_data.get("timestamp")
+    if not package_id:
+        return {"status": "skipped", "reason": "no package_id"}
+    package_json = lookup.get_json(package_id, release_id or None)
+    if not package_json:
+        return {
+            "status": "skipped",
+            "reason": "fetch_failed",
+            "package_id": package_id,
+        }
+    info = package_json.get("info") or {}
+    if not tf.has_classifier_prefix(info.get("classifiers"), PLONE_PREFIXES):
+        return {
+            "status": "skipped",
+            "reason": "no_plone_classifier",
+            "package_id": package_id,
+        }
+    data = tf.restructure_pypi_json(package_json)
+    if data is None:
+        return {"status": "skipped", "reason": "no_info", "package_id": package_id}
+    if timestamp is not None:
+        data.setdefault("upload_timestamp", timestamp)
+    version = data.get("version", "")
+    identifier = f"{package_id}-{version}" if version else package_id
+    data["id"] = identifier
+    data["identifier"] = identifier
+    data["name_sortable"] = data.get("name", package_id)
+    data = tf.clean_data(data)
+    return {
+        "status": "indexed",
+        "package_id": package_id,
+        "identifier": identifier,
+        "doc": data,
+    }
+
+
+def update_project(package_id: str | None, lookup: PackageLookup) -> dict:
+    """``update_project`` (queue.py:250-330): same flow but NO Plone
+    classifier check — the package is already known to be indexed."""
+    if not package_id:
+        return {"status": "skipped", "reason": "no package_id"}
+    package_json = lookup.get_json(package_id)
+    if not package_json:
+        return {
+            "status": "skipped",
+            "reason": "fetch_failed",
+            "package_id": package_id,
+        }
+    data = tf.restructure_pypi_json(package_json)
+    if data is None:
+        return {"status": "skipped", "reason": "no_info", "package_id": package_id}
+    version = data.get("version", "")
+    identifier = f"{package_id}-{version}" if version else package_id
+    data["id"] = identifier
+    data["identifier"] = identifier
+    data["name_sortable"] = data.get("name", package_id)
+    data = tf.clean_data(data)
+    return {
+        "status": "indexed",
+        "package_id": package_id,
+        "identifier": identifier,
+        "doc": data,
+    }
+
+
+class SeenStore:
+    """In-memory analog of the reference's Redis ``SET NX`` dedup store
+    (mark_seen returns True exactly once per key). ``fail=True``
+    simulates a store outage."""
+
+    def __init__(self, fail: bool = False):
+        self._seen: set[str] = set()
+        self.fail = fail
+
+    def mark_seen(self, key: str) -> bool:
+        if self.fail:
+            raise ConnectionError("dedup store unavailable")
+        if key in self._seen:
+            return False
+        self._seen.add(key)
+        return True
+
+
+def _dedup_key(feed_type: str, parsed: dict) -> str:
+    """new-package feeds dedup on the package id; release feeds on
+    (package, release) — queue.py:617-660, 789-823."""
+    if feed_type == "new":
+        return f"{feed_type}:{parsed['package_id']}"
+    return f"{feed_type}:{parsed['package_id']}:{parsed.get('release_id') or ''}"
+
+
+def queue_from_feed(
+    entries: list[dict],
+    seen: SeenStore,
+    feed_type: str = "new",
+    filter_name: str | None = None,
+) -> dict:
+    """RSS feed -> queued work items, with the reference's semantics
+    (queue.py:591-724): entries without a package id are skipped;
+    already-seen keys are skipped and COUNTED; a dedup-store failure
+    queues the entry anyway (availability over exactly-once — the worker
+    side is idempotent). Returns {queued: [...], skipped: N,
+    invalid: N}."""
+    queued: list[dict] = []
+    skipped = 0
+    invalid = 0
+    for entry in entries:
+        parsed = parse_feed_entry(entry, filter_name)
+        if parsed is None:
+            invalid += 1
+            continue
+        try:
+            fresh = seen.mark_seen(_dedup_key(feed_type, parsed))
+        except Exception:
+            fresh = True  # dedup failure must not drop work
+        if not fresh:
+            skipped += 1
+            continue
+        queued.append(parsed)
+    return {"queued": queued, "skipped": skipped, "invalid": invalid}
+
+
+STATUS_SCHEMA = pa.schema(
+    [
+        ("package_id", pa.string()),
+        ("status", pa.string()),
+        ("reason", pa.string()),
+        ("identifier", pa.string()),
+    ]
+)
+
+
+class InspectStage:
+    """map_batches stage: feed-entry rows -> status rows, one per entry
+    (partial failure stays per row). The package table loads once per
+    actor (``__init__``), entries classify vectorized-per-batch."""
+
+    def __init__(self, packages: pa.Table, check_classifier: bool = True):
+        self.lookup = PackageLookup(packages)
+        self.check = check_classifier
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("package_id", "status", "reason", "identifier")}
+        for row in batch.to_pylist():
+            res = (
+                inspect_project(row, self.lookup)
+                if self.check
+                else update_project(row.get("package_id"), self.lookup)
+            )
+            out["package_id"].append(res.get("package_id"))
+            out["status"].append(res["status"])
+            out["reason"].append(res.get("reason"))
+            out["identifier"].append(res.get("identifier"))
+        return pa.table(
+            {k: pa.array(v, pa.string()) for k, v in out.items()},
+            schema=STATUS_SCHEMA,
+        )

@@ -1,0 +1,207 @@
+"""The reference's Celery task status matrix, ported offline
+(/root/reference/tests/test_queue.py:142-657): inspect_project /
+update_project outcome taxonomy, identifier construction, the
+no-classifier-check property of updates, RSS queue dedup counting, and
+dedup-failure-allows-queueing — against this engine's batch analogs."""
+
+import pyarrow as pa
+import pytest
+
+from pyf_aggregator_ray.pipelines import tasks as tk
+
+
+def _packages() -> pa.Table:
+    return pa.table(
+        {
+            "name": ["plone.api", "plone.api", "requests", "broken"],
+            "version": ["1.0.0", "2.0.0", "2.31.0", ""],
+            "classifiers": [
+                ["Framework :: Plone :: 6.0"],
+                ["Framework :: Plone"],
+                ["Programming Language :: Python :: 3"],
+                ["Framework :: Plone"],
+            ],
+            "upload_timestamp": [100, 200, 300, 50],
+            "summary": ["api", "api", "http", None],
+            "keywords": ["plone, api", None, "http requests", None],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def lookup():
+    return tk.PackageLookup(_packages())
+
+
+# --- inspect_project (test_queue.py:142-320) ---
+
+
+def test_skips_when_no_package_id(lookup):
+    res = tk.inspect_project({}, lookup)
+    assert res["status"] == "skipped"
+    assert res["reason"] == "no package_id"
+
+
+def test_skips_non_plone_package(lookup):
+    res = tk.inspect_project({"package_id": "requests"}, lookup)
+    assert res["status"] == "skipped"
+    assert res["reason"] == "no_plone_classifier"
+    assert res["package_id"] == "requests"
+
+
+def test_indexes_plone_package(lookup):
+    res = tk.inspect_project({"package_id": "plone.api"}, lookup)
+    assert res["status"] == "indexed"
+    assert res["package_id"] == "plone.api"
+    assert "identifier" in res
+    # latest release wins when no release_id given
+    assert res["identifier"] == "plone.api-2.0.0"
+
+
+def test_handles_fetch_failure(lookup):
+    res = tk.inspect_project({"package_id": "nonexistent"}, lookup)
+    assert res["status"] == "skipped"
+    assert res["reason"] == "fetch_failed"
+
+
+def test_uses_release_id_when_provided(lookup):
+    res = tk.inspect_project(
+        {"package_id": "plone.api", "release_id": "1.0.0"}, lookup
+    )
+    assert res["status"] == "indexed"
+    assert res["identifier"] == "plone.api-1.0.0"
+
+
+def test_sets_id_identifier_and_name_sortable(lookup):
+    res = tk.inspect_project({"package_id": "plone.api"}, lookup)
+    doc = res["doc"]
+    assert doc["id"] == doc["identifier"] == "plone.api-2.0.0"
+    assert doc["name_sortable"] == "plone.api"
+    # clean_data ran: keyword string -> list
+    assert doc["keywords"] == []  # None keywords on the 2.0.0 row -> []
+
+
+def test_identifier_without_version_is_bare_package_id(lookup):
+    res = tk.update_project("broken", lookup)
+    assert res["status"] == "indexed"
+    assert res["identifier"] == "broken"  # empty version -> no suffix
+
+
+# --- update_project (test_queue.py:322-400) ---
+
+
+def test_update_skips_when_no_package_id(lookup):
+    res = tk.update_project(None, lookup)
+    assert res["status"] == "skipped"
+    assert res["reason"] == "no package_id"
+
+
+def test_update_does_not_check_plone_classifier(lookup):
+    """Unlike inspect, update assumes the package is already known
+    (test_queue.py:360-381) — a non-Plone package still indexes."""
+    res = tk.update_project("requests", lookup)
+    assert res["status"] == "indexed"
+    assert res["identifier"] == "requests-2.31.0"
+
+
+def test_update_handles_fetch_failure(lookup):
+    res = tk.update_project("nonexistent", lookup)
+    assert res["status"] == "skipped"
+    assert res["reason"] == "fetch_failed"
+
+
+# --- RSS queue + dedup (test_queue.py:402-823) ---
+
+
+def _feed(n=3, pkg="pkg"):
+    return [
+        {
+            "title": f"{pkg}{i} added to PyPI",
+            "link": f"https://pypi.org/project/{pkg}{i}/",
+            "published_parsed": 1_700_000_000 + i,
+        }
+        for i in range(n)
+    ]
+
+
+def test_queues_packages_from_rss():
+    out = tk.queue_from_feed(_feed(3), tk.SeenStore(), feed_type="new")
+    assert len(out["queued"]) == 3
+    assert out["skipped"] == 0
+    assert {q["package_id"] for q in out["queued"]} == {"pkg0", "pkg1", "pkg2"}
+
+
+def test_returns_zero_when_empty_feed():
+    out = tk.queue_from_feed([], tk.SeenStore(), feed_type="new")
+    assert out == {"queued": [], "skipped": 0, "invalid": 0}
+
+
+def test_skips_entries_without_package_id():
+    entries = _feed(2) + [{"title": "", "link": ""}]
+    out = tk.queue_from_feed(entries, tk.SeenStore(), feed_type="new")
+    assert len(out["queued"]) == 2
+    assert out["invalid"] == 1
+
+
+def test_skips_duplicate_packages_and_counts():
+    seen = tk.SeenStore()
+    first = tk.queue_from_feed(_feed(3), seen, feed_type="new")
+    assert len(first["queued"]) == 3
+    again = tk.queue_from_feed(_feed(3) + _feed(1, pkg="other"), seen, "new")
+    assert len(again["queued"]) == 1
+    assert again["skipped"] == 3  # skipped count surfaces in the result
+
+
+def test_dedup_failure_allows_queueing():
+    """A dedup-store outage must not drop work — entries queue anyway
+    (test_queue.py:588-616)."""
+    out = tk.queue_from_feed(_feed(2), tk.SeenStore(fail=True), "new")
+    assert len(out["queued"]) == 2
+    assert out["skipped"] == 0
+
+
+def test_release_feed_dedups_on_package_and_release():
+    """Release feeds key on (package, release): the same package with a
+    NEW release queues again (test_queue.py:789-823)."""
+    seen = tk.SeenStore()
+    e1 = {"title": "pkg 1.0.0", "link": "https://pypi.org/project/pkg/1.0.0/"}
+    e2 = {"title": "pkg 1.0.1", "link": "https://pypi.org/project/pkg/1.0.1/"}
+    out1 = tk.queue_from_feed([e1], seen, feed_type="release")
+    out2 = tk.queue_from_feed([e1, e2], seen, feed_type="release")
+    assert len(out1["queued"]) == 1
+    assert len(out2["queued"]) == 1
+    assert out2["queued"][0]["release_id"] == "1.0.1"
+    assert out2["skipped"] == 1
+
+
+# --- distributed stage: partial failure stays per row ---
+
+
+def test_inspect_stage_partial_failure(ray_session):
+    """One map_batches pass classifies good, non-Plone, missing and
+    id-less entries in the SAME batch — bad rows become skip rows, the
+    good row still indexes (the Celery per-task isolation, batched)."""
+    import ray.data
+
+    entries = pa.table(
+        {
+            "package_id": ["plone.api", "requests", "nonexistent", None],
+            "release_id": [None, None, None, None],
+            "timestamp": [None, None, None, None],
+        }
+    )
+    out = (
+        ray.data.from_arrow(entries)
+        .map_batches(
+            tk.InspectStage,
+            fn_constructor_args=(_packages(),),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .set_index("package_id")
+    )
+    assert out.loc["plone.api", "status"] == "indexed"
+    assert out.loc["requests", "reason"] == "no_plone_classifier"
+    assert out.loc["nonexistent", "reason"] == "fetch_failed"
+    assert (out["status"] == "indexed").sum() == 1
