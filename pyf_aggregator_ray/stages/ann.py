@@ -530,6 +530,21 @@ class _AnnArtifactStageBase:
     def _probe_keys(self, q_raw: np.ndarray) -> list[list[int]]:
         raise NotImplementedError
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Score the WHOLE query batch per k-group: one probe-key union
+        + ONE pushdown read of the probed clusters/buckets serves every
+        query in the batch (was one artifact read per row — the
+        round-4-noted per-row I/O amplification)."""
+        by_k: dict[int, list[int]] = {}
+        for qid, k in zip(
+            batch["query_vec_id"].to_pylist(), batch["k"].to_pylist()
+        ):
+            by_k.setdefault(int(k), []).append(int(qid))
+        parts = [self.topk(qids, k) for k, qids in sorted(by_k.items())]
+        return (
+            pa.concat_tables(parts) if parts else _OUT_SCHEMA.empty_table()
+        )
+
     def topk(self, qids: list[int], k: int) -> pa.Table:
         import pyarrow.dataset as pads
 
@@ -595,14 +610,6 @@ class IvfArtifactStage(_AnnArtifactStageBase):
             out.append([int(c) for c in order[: self.nprobe]])
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        parts = [
-            self.topk([int(qid)], int(k))
-            for qid, k in zip(
-                batch["query_vec_id"].to_pylist(), batch["k"].to_pylist()
-            )
-        ]
-        return pa.concat_tables(parts) if parts else _ARTIFACT_Q_SCHEMA.empty_table()
 
 
 class LshArtifactStage(_AnnArtifactStageBase):
@@ -631,14 +638,6 @@ class LshArtifactStage(_AnnArtifactStageBase):
             out.append(sorted({s} | {s ^ (1 << j) for j in range(self.num_planes)}))
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        parts = [
-            self.topk([int(qid)], int(k))
-            for qid, k in zip(
-                batch["query_vec_id"].to_pylist(), batch["k"].to_pylist()
-            )
-        ]
-        return pa.concat_tables(parts) if parts else _ARTIFACT_Q_SCHEMA.empty_table()
 
 
 _ARTIFACT_Q_SCHEMA = _OUT_SCHEMA
