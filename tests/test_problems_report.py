@@ -166,3 +166,39 @@ def test_pipeline_side_artifact(ray_session, tmp_path):
     md = (tmp_path / "github_problems.md").read_text()
     assert md.startswith("# Problematic GitHub Repositories")
     assert f"Total: {data['count']}" in md
+
+
+def test_report_survives_interrupted_run(ray_session, tmp_path):
+    """The reference flushes the report in `finally` so an interrupted
+    run still reports everything recorded (github.py:284-296). Kill the
+    pipeline after the report stage flushed a batch: the aggregate
+    report on disk stays valid and finalize re-renders it."""
+    import ray
+    import ray.data
+
+    stage_dir = str(tmp_path)
+    b = pa.table({"name": ["p1"], "home_page": ["https://github.com/about/x"]})
+
+    def boom(t: pa.Table) -> pa.Table:
+        raise RuntimeError("simulated mid-run crash")
+
+    try:
+        ds = (
+            ray.data.from_arrow(b)
+            .map_batches(
+                pr.ProblemReportStage,
+                fn_constructor_args=(stage_dir,),
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .map_batches(boom, batch_format="pyarrow")
+        )
+        try:
+            ds.materialize()
+        finally:
+            probs = pr.finalize_problem_report(stage_dir)
+    except Exception:
+        pass
+    data = json.loads((tmp_path / "github_problems.json").read_text())
+    assert data["count"] == 1
+    assert data["problems"][0]["reason"] == "malformed_identifier"

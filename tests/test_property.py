@@ -219,3 +219,73 @@ def test_version_sortable_order_matches_semantic_order(specs):
     by_sortable = sorted(range(len(versions)), key=lambda i: (sortables[i], i))
     by_key = sorted(range(len(versions)), key=lambda i: (keys[i], i))
     assert [keys[i] for i in by_sortable] == [keys[i] for i in by_key]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["import", "def", "x1", "y2", "zlongterm"]),
+            st.integers(min_value=0, max_value=3000),
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=500),
+)
+def test_shard_split_round_trip_property(rows, width):
+    """Random posting tables split at ANY shard width reproduce the
+    original per-term (ids, tfs, dls) exactly, with every slice's ids in
+    its shard — the invariant the doc-id-sharded query path rests on."""
+    import pyarrow as pa
+
+    from pyf_aggregator_ray.pipelines.shardquery import split_posting_batch
+    from pyf_aggregator_ray.stages.postings import (
+        decode_posting_batch,
+        encode_partition,
+        merge_partition,
+    )
+
+    # dedupe (term, doc) pairs (tokenizer emits one row per distinct pair)
+    seen = {}
+    for term, doc, tf, dl in rows:
+        seen[(term, doc)] = (tf, dl)
+    t = pa.table(
+        {
+            "term": pa.array([k[0] for k in seen], pa.string()),
+            "doc_id": pa.array([k[1] for k in seen], pa.int64()),
+            "tf": pa.array([v[0] for v in seen.values()], pa.int64()),
+            "dl": pa.array([v[1] for v in seen.values()], pa.int64()),
+            "salt": pa.array([0] * len(seen), pa.int64()),
+        }
+    )
+    merged = merge_partition(encode_partition(t))
+    split = split_posting_batch(merged, width)
+    cs, ids_s, tfs_s, dls_s = decode_posting_batch(split)
+    es = np.cumsum(cs)
+    ss = es - cs
+    got: dict[str, list] = {}
+    for i, (term, shard) in enumerate(
+        zip(split["term"].to_pylist(), split["shard"].to_pylist())
+    ):
+        seg = ids_s[ss[i]:es[i]]
+        assert (seg // width == shard).all()
+        got.setdefault(term, []).append(
+            (shard, seg, tfs_s[ss[i]:es[i]], dls_s[ss[i]:es[i]])
+        )
+    c0, i0, t0, d0 = decode_posting_batch(merged)
+    e0 = np.cumsum(c0)
+    s0 = e0 - c0
+    for j, term in enumerate(merged["term"].to_pylist()):
+        parts = sorted(got[term], key=lambda r: r[0])
+        assert np.array_equal(
+            np.concatenate([p[1] for p in parts]), i0[s0[j]:e0[j]]
+        )
+        assert np.array_equal(
+            np.concatenate([p[2] for p in parts]), t0[s0[j]:e0[j]]
+        )
+        assert np.array_equal(
+            np.concatenate([p[3] for p in parts]), d0[s0[j]:e0[j]]
+        )
