@@ -429,9 +429,9 @@ def field_search_topk(
     (term-pushdown postings lookups + stats), never the corpus
     (asserted by tests/test_transforms.py::test_field_search_index_only).
     Returns (query_id, rank, doc_id, score)."""
-    from . import query as q
+    from . import shardquery as _sq
 
-    ds = q.run_query_set(index_root, queries=queryset, cfg=cfg)
+    ds = _sq.run_query_set_sharded(index_root, queries=queryset, cfg=cfg)
     out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

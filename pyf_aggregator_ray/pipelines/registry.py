@@ -557,7 +557,9 @@ def _typo_topk(
             [("query_id", pa.int64()), ("rank", pa.int64()),
              ("doc_id", pa.int64()), ("score", pa.float64())]
         ).empty_table()
-    ds = q.run_query_set(root, queries=expanded)
+    from . import shardquery as _sq
+
+    ds = _sq.run_query_set_sharded(root, queries=expanded)
     out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -757,7 +759,9 @@ def infix_search(sf_dir: str) -> pa.Table:
             [("query_id", pa.int64()), ("rank", pa.int64()),
              ("doc_id", pa.int64()), ("score", pa.float64())]
         ).empty_table()
-    ds = q.run_query_set(root, queries=expanded)
+    from . import shardquery as _sq
+
+    ds = _sq.run_query_set_sharded(root, queries=expanded)
     out = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
