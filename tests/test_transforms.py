@@ -1052,3 +1052,36 @@ def test_classifier_predicate_reference_matrix():
     assert not accepts(
         {"info": {"classifiers": ["Legacy :: Framework :: Plone"]}}
     )
+
+
+# --- classifier predicate matrix, ported from the reference
+# (/root/reference/tests/test_fetcher.py:43-131 TestHasPloneClassifier) ---
+
+
+def test_classifier_prefix_matrix():
+    from pyf_aggregator_ray.functions.transforms import has_classifier_prefix
+
+    P = ["Framework :: Plone"]
+    # exact classifier
+    assert has_classifier_prefix(["Framework :: Plone"], P)
+    # subclassifier (the prefix rule)
+    assert has_classifier_prefix(["Framework :: Plone :: 6.0"], P)
+    # multiple plone classifiers
+    assert has_classifier_prefix(
+        ["Framework :: Plone :: 5.2", "Framework :: Plone :: 6.0"], P
+    )
+    # non-plone package
+    assert not has_classifier_prefix(
+        ["Framework :: Django", "Programming Language :: Python :: 3"], P
+    )
+    # empty / missing
+    assert not has_classifier_prefix([], P)
+    assert not has_classifier_prefix(None, P)
+    # other frameworks that CONTAIN but don't START WITH the prefix
+    assert not has_classifier_prefix(["Not Framework :: Plone"], P)
+    # reference parity quirk: startswith is a pure string-prefix test,
+    # so a hypothetical "Framework :: Plone6" (no ' :: ' separator)
+    # WOULD match — identical to the reference's `c.startswith(filter)`
+    # (fetcher.py:598-601); a different framework name does not
+    assert has_classifier_prefix(["Framework :: Plone6"], P)
+    assert not has_classifier_prefix(["Framework :: Plonish"], P)
