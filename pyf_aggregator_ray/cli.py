@@ -54,6 +54,25 @@ def main(argv: list[str] | None = None) -> int:
     qs = sub.add_parser("queryset", help="run the reference query set")
     qs.add_argument("--index-root", required=True)
 
+    se = sub.add_parser(
+        "search",
+        help="one composed search through the unified facade — the "
+        "reference's full parameter dict (q / filter_by / group_by / "
+        "num_typos / sort_by / per_page+page / phrase / vector hybrid / "
+        "highlights) as flags",
+    )
+    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--page", type=int, default=1)
+    se.add_argument("--filter-by", help="field:=value [&& field:=value ...]")
+    se.add_argument("--group-by", action="store_true")
+    se.add_argument("--num-typos", type=int, default=0, choices=(0, 1, 2))
+    se.add_argument("--sort-by", default="score", choices=("score", "dl"))
+    se.add_argument("--phrase", action="store_true")
+    se.add_argument("--snippets", action="store_true")
+    se.add_argument("--query-vec-id", type=int)
+
     inc = sub.add_parser("incremental", help="merge new docs into the live index")
     inc.add_argument("--index-root", required=True)
     inc.add_argument("--sf-dir", required=True)
@@ -187,6 +206,23 @@ def main(argv: list[str] | None = None) -> int:
 
             df = run_query_set(args.index_root).to_pandas()
             print(df.to_json(orient="records"))
+        elif args.cmd == "search":
+            from .pipelines.searchapi import search
+
+            tbl = search(
+                args.sf_dir,
+                args.query,
+                k=args.k,
+                page=args.page,
+                filter_by=args.filter_by,
+                group_by=args.group_by,
+                num_typos=args.num_typos,
+                sort_by=args.sort_by,
+                phrase=args.phrase,
+                query_vec_id=args.query_vec_id,
+                include_snippets=args.snippets,
+            )
+            print(tbl.to_pandas().to_json(orient="records"))
         elif args.cmd == "incremental":
             from .pipelines.incremental import incremental_update
             from .sources.corpus import read_corpus

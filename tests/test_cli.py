@@ -39,3 +39,19 @@ def test_unknown_subcommand_fails():
         text=True,
     )
     assert r.returncode != 0
+
+
+def test_search_subcommand(ray_session):
+    """The composed-search CLI returns the facade's rows (JSON records)
+    with pagination + snippets flags honored. Runs in a subprocess with
+    its own Ray session (the CLI owns init/shutdown)."""
+    out = _run(
+        "search", "--sf-dir", "/root/testdata/sf0.001",
+        "--query", "merge sort", "-k", "3", "--page", "2",
+        "--filter-by", "lang:=en", "--snippets",
+    )
+    assert isinstance(out, list)
+    for row in out:
+        assert {"rank", "doc_id", "score", "first_pos", "snippet"} <= set(row)
+    if out:
+        assert out[0]["rank"] == 4  # global ranks, page-2 window
