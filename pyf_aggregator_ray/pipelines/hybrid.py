@@ -156,27 +156,20 @@ def hybrid_search(sf_dir: str, vector_backend: str = "brute") -> pa.Table:
 
     root = ensure_index(sf_dir)
 
-    qds = ray.data.from_arrow(
-        pa.table(
-            {
-                "query_id": pa.array([p[0] for p in HYBRID_QUERIES], pa.int64()),
-                "query": pa.array([p[1] for p in HYBRID_QUERIES], pa.string()),
-            }
-        )
+    # text side at fusion depth through the doc-id-SHARDED scorer (ranks
+    # identical to the exhaustive path — the sharded merge is the same
+    # (score desc, doc_id asc) order bm25_topk's oracle verifies)
+    from . import shardquery as sq
+
+    text_ranked = sq.run_query_set_sharded(
+        root, queries=[(p[0], p[1], FUSE_DEPTH) for p in HYBRID_QUERIES]
     )
     text_tbl = pa.concat_tables(
         [
-            t
-            for t in (
-                ray.get(r)
-                for r in qds.map_batches(
-                    HybridTextStage,
-                    fn_constructor_args=(root,),
-                    batch_format="pyarrow",
-                    batch_size=4,
-                    concurrency=2,
-                ).to_arrow_refs()
+            t.select(["query_id", "doc_id", "rank"]).rename_columns(
+                ["query_id", "doc_id", "text_rank"]
             )
+            for t in (ray.get(r) for r in text_ranked.to_arrow_refs())
             if t.num_rows
         ]
         or [
