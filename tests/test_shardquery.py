@@ -247,3 +247,42 @@ def test_composable_shard_state_is_range_scoped(vdir):
         assert len(stage._ids) <= 50 < total_docs
         if len(stage._ids):
             assert (stage._ids // 50 == s).all()
+
+
+def test_sharded_query_over_appended_index(ray_session, tmp_path):
+    """Append-mode increments leave MULTIPLE posting rows per term; the
+    sharded artifact splits each row independently and ShardReader
+    concatenates same-(term,shard) slices — the sharded query set over
+    an appended index must equal the exhaustive reader over the same
+    version (which the incremental suite pins against a full rebuild)."""
+    import pyarrow.compute as pc
+
+    from pyf_aggregator_ray.pipelines.build_index import build_index
+    from pyf_aggregator_ray.pipelines.incremental import incremental_update
+    from pyf_aggregator_ray.sources.corpus import read_corpus
+
+    root = str(tmp_path / "idx")
+    cutoff = 250
+    first = read_corpus(SF).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cutoff)), batch_format="pyarrow"
+    )
+    build_index(SF, root, corpus=first)
+    delta = read_corpus(SF).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cutoff)),
+        batch_format="pyarrow",
+    )
+    manifest = incremental_update(root, delta, mode="append")
+    assert manifest["mode"] == "append"  # really took the multi-row path
+    exh = (
+        q.run_query_set(root)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    shd = (
+        sq.run_query_set_sharded(root, shard_width=64)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert exh.equals(shd)
