@@ -286,3 +286,59 @@ def test_sharded_query_over_appended_index(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert exh.equals(shd)
+
+
+def test_composable_sharded_randomized_matrix(vdir, ray_session):
+    """Seeded randomized sweep over the composed parameter space
+    (query text x k x filter x group x typos x sort x page) at a small
+    shard width: the tie-inclusive distributed merge must equal the
+    single-actor stage on EVERY combination (the grouped/paginated tie
+    handling is the one subtle piece of the sharded merge)."""
+    import numpy as np
+
+    from pyf_aggregator_ray.pipelines import shardquery as sq2
+    from pyf_aggregator_ray.pipelines.searchplus import (
+        ComposableScorerStage,
+        _filter_by_string,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = ["the", "merge sort", "customer value", "data import",
+             "spark -python", "mergw sorrt", "the data -the"]
+    langs = [None, "en", "de"]
+    combos = []
+    for qid in range(24):
+        combos.append(
+            (
+                qid,
+                texts[int(rng.integers(0, len(texts)))],
+                int(rng.integers(1, 8)),
+                langs[int(rng.integers(0, len(langs)))],
+                bool(rng.integers(0, 2)),
+                int(rng.integers(0, 3)) if qid % 3 == 0 else 0,
+                "dl" if rng.integers(0, 2) else "score",
+                int(rng.integers(1, 4)),
+            )
+        )
+    root = ensure_index(SF)
+    stage = ComposableScorerStage(root)
+    want = []
+    for qid, text, k, lang, grp, typos, sort_by, page in combos:
+        for row in stage.run_one(
+            text, k, _filter_by_string(lang, None), grp, typos, sort_by, page
+        ):
+            want.append((qid,) + tuple(row))
+    got_df = (
+        sq2.run_composable_sharded(root, combos, shard_width=41)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    got = [
+        (r.query_id, r["rank"], r.repo, r.doc_id, round(r.score, 6), r.dl)
+        for _, r in got_df.iterrows()
+    ]
+    want_r = [
+        (qid, rank, repo, doc, round(score, 6), dl)
+        for qid, rank, repo, doc, score, dl in want
+    ]
+    assert sorted(got) == sorted(want_r)
