@@ -131,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--profile")
     pk.add_argument("--target")
     pk.add_argument("--profiles-path")
+    pk.add_argument(
+        "--report-dir",
+        help="side-write the incremental enrichment problems report "
+        "(github_problems.json/.md) for this run",
+    )
 
     args = p.parse_args(argv)
 
@@ -259,6 +264,7 @@ def main(argv: list[str] | None = None) -> int:
                 profile=args.profile,
                 target=args.target,
                 profiles_path=args.profiles_path,
+                report_dir=args.report_dir,
             )))
     finally:
         ray.shutdown()

@@ -62,9 +62,13 @@ def profile_package_run(
     profile: str | None,
     target: str | None = None,
     profiles_path: str | None = None,
+    report_dir: str | None = None,
 ) -> dict:
     """End-to-end profile-driven run over the deterministic fixtures:
-    returns per-registry document counts under the resolved target."""
+    returns per-registry document counts under the resolved target.
+    With ``report_dir``, the run side-writes the incremental
+    problems report (reference enricher runs flush one per run,
+    ``github.py:284-296``) and the result carries ``n_problems``."""
     from ..sources import npm as npm_src
     from ..sources.packages import synth_packages
 
@@ -75,15 +79,38 @@ def profile_package_run(
     pypi = profile_pypi_documents(
         ray.data.from_arrow(synth_packages(24)), prof
     )
-    npm_docs = profile_npm_documents(
-        ray.data.from_arrow(npm_src.synth_npm_raw()), prof
-    )
-    n_pypi = pypi.count()
-    n_npm = npm_docs.count()
-    return {
+    n_problems = None
+    if report_dir is not None:
+        from .problems import ProblemReportStage, finalize_problem_report
+
+        try:
+            pypi = pypi.map_batches(
+                ProblemReportStage,
+                fn_constructor_args=(report_dir,),
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            npm_docs = profile_npm_documents(
+                ray.data.from_arrow(npm_src.synth_npm_raw()), prof
+            )
+            n_pypi = pypi.count()
+            n_npm = npm_docs.count()
+        finally:
+            n_problems = len(finalize_problem_report(report_dir))
+    else:
+        npm_docs = profile_npm_documents(
+            ray.data.from_arrow(npm_src.synth_npm_raw()), prof
+        )
+        n_pypi = pypi.count()
+        n_npm = npm_docs.count()
+    out = {
         "profile": prof.key,
         "target": resolved_target,
         "n_pypi": int(n_pypi),
         "n_npm": int(n_npm),
         "n_total": int(n_pypi + n_npm),
     }
+    if n_problems is not None:
+        out["n_problems"] = n_problems
+        out["report_dir"] = report_dir
+    return out

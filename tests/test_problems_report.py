@@ -202,3 +202,16 @@ def test_report_survives_interrupted_run(ray_session, tmp_path):
     data = json.loads((tmp_path / "github_problems.json").read_text())
     assert data["count"] == 1
     assert data["problems"][0]["reason"] == "malformed_identifier"
+
+
+def test_profile_run_side_writes_report(ray_session, tmp_path):
+    """The profile-driven package run (reference `pyfa pypi -p`) can
+    side-write the problems report like the reference enricher runs do;
+    the result carries the count."""
+    from pyf_aggregator_ray.pipelines.packagepipe import profile_package_run
+
+    out = profile_package_run("plone", report_dir=str(tmp_path))
+    assert out["n_problems"] >= 0
+    if out["n_problems"]:
+        data = json.loads((tmp_path / "github_problems.json").read_text())
+        assert data["count"] == out["n_problems"]
