@@ -213,7 +213,19 @@ def ensure_sharded_postings(
     with open(os.path.join(tmp, "_META.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(path, ignore_errors=True)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        # lost a cross-process build race: another builder renamed its
+        # finished artifact in first. Use theirs if it matches the same
+        # source fingerprint; otherwise propagate.
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                other = json.load(f)
+            if other.get("source_fingerprint") == fp:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return path, other
+        raise
     return path, meta
 
 
