@@ -119,6 +119,13 @@ def run_bench() -> dict:
         for _, query, k in QUERY_SET:
             cold.score(query, k)
         cold_set_sec = time.perf_counter() - t
+        # the distributed doc-id-sharded path, fully cold (includes the
+        # on-demand sharded-postings derivation + the fan-out/merge)
+        from pyf_aggregator_ray.pipelines import shardquery as _sq
+
+        t = time.perf_counter()
+        _sq.run_query_set_sharded(index_root).count()
+        sharded_cold_sec = time.perf_counter() - t
         # the composed training-data cleaning pipeline (exact+near dedup,
         # quality floor, language filter) over the same corpus
         from pyf_aggregator_ray.pipelines.curation import curate_corpus
@@ -129,6 +136,7 @@ def run_bench() -> dict:
     else:
         cold_set_sec = -1.0
         curation_sec = -1.0
+        sharded_cold_sec = -1.0
 
     sharded = None
     if os.environ.get("GRAFT_SHARDED"):
@@ -186,6 +194,7 @@ def run_bench() -> dict:
             "docs_pass": round(metrics["docs_pass_sec"], 3),
             "index_pass": round(metrics["index_pass_sec"], 3),
             "query_set_cold": round(cold_set_sec, 4),
+            "query_set_sharded_cold": round(sharded_cold_sec, 4),
             "query_p50": round(p50, 5),
             "query_p95": round(p95, 5),
             "curation": round(curation_sec, 3),
