@@ -800,6 +800,102 @@ def _issue_bonus(open_issues, stars) -> int:
     return 0
 
 
+def enhanced_health_report(doc: dict, now_ts: int) -> dict:
+    """The reference enricher's FULL enhanced report
+    (``enrichers/health_calculator.py:104-223``): the base three-factor
+    breakdown plus GitHub bonuses, with the reference's exact
+    conditional shape —
+
+    - ``github_stars_bonus`` / ``github_activity_bonus`` /
+      ``github_issue_bonus`` / ``github_bonus_total`` appear in the
+      breakdown ONLY when that bonus is > 0;
+    - stale GitHub activity appends to the RECENCY problems
+      ("no GitHub activity in 1+ year" when the activity bonus is 0,
+      "limited GitHub activity (6+ months)" when it is <= 3), each at
+      most once;
+    - an issue bonus >= 5 appends the plain string
+      "good issue management" to the METADATA bonuses (the reference
+      mixes this string into the dict-shaped bonus list);
+    - the issue bonus is computed only when BOTH ``github_open_issues``
+      and ``github_stars`` keys are present and stars > 0;
+    - the final score is ``min(100, base + github_bonus)``;
+    - ``health_score_last_calculated`` is stamped from the injected
+      ``now_ts`` (the reference uses the wall clock; determinism
+      requirement here).
+    """
+    recency, r_problems = _recency_with_problems(
+        doc.get("upload_timestamp"), now_ts
+    )
+    docs_score, d_problems, d_bonuses = _docs_with_problems(doc)
+    meta, m_problems, m_bonuses = _metadata_with_problems(doc)
+    base_score = recency + docs_score + meta
+
+    github_bonus = 0
+    stars = doc.get("github_stars", 0)
+    stars_bonus = 0
+    if stars:
+        stars_bonus = _stars_bonus(stars)
+        github_bonus += stars_bonus
+
+    github_updated = doc.get("github_updated")
+    activity_bonus = 0
+    if github_updated:
+        activity_bonus = _activity_bonus(github_updated, now_ts)
+        github_bonus += activity_bonus
+        if activity_bonus == 0:
+            if "no GitHub activity in 1+ year" not in r_problems:
+                r_problems.append("no GitHub activity in 1+ year")
+        elif activity_bonus <= 3:
+            if "limited GitHub activity (6+ months)" not in r_problems:
+                r_problems.append("limited GitHub activity (6+ months)")
+
+    issue_bonus = 0
+    if "github_open_issues" in doc and "github_stars" in doc:
+        stars_for_ratio = doc.get("github_stars", 0)
+        if stars_for_ratio and stars_for_ratio > 0:
+            issue_bonus = _issue_bonus(
+                doc.get("github_open_issues", 0), stars_for_ratio
+            )
+            github_bonus += issue_bonus
+            if issue_bonus >= 5 and "good issue management" not in m_bonuses:
+                m_bonuses.append("good issue management")
+
+    breakdown: dict = {
+        "recency": {
+            "points": recency,
+            "max_points": MAX_RECENCY_POINTS,
+            "problems": r_problems,
+            "bonuses": [],
+        },
+        "documentation": {
+            "points": docs_score,
+            "max_points": MAX_DOCS_POINTS,
+            "problems": d_problems,
+            "bonuses": d_bonuses,
+        },
+        "metadata": {
+            "points": meta,
+            "max_points": MAX_METADATA_POINTS,
+            "problems": m_problems,
+            "bonuses": m_bonuses,
+        },
+    }
+    if stars_bonus > 0:
+        breakdown["github_stars_bonus"] = stars_bonus
+    if activity_bonus > 0:
+        breakdown["github_activity_bonus"] = activity_bonus
+    if issue_bonus > 0:
+        breakdown["github_issue_bonus"] = issue_bonus
+    if github_bonus > 0:
+        breakdown["github_bonus_total"] = github_bonus
+
+    return {
+        "health_score": int(min(100, base_score + github_bonus)),
+        "health_score_breakdown": breakdown,
+        "health_score_last_calculated": int(now_ts),
+    }
+
+
 def health_score(doc: dict, now_ts: int) -> dict:
     """Reference-exact composite health score: recency 0-40 + docs base
     18 (+bonuses 4/3/5) + metadata 0-30 + GitHub bonuses <=30, capped at

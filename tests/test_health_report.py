@@ -544,3 +544,361 @@ class TestFullPipelineScenarios:
         ra2 = tf.health_report(a, NOW_TS)
         assert ra1 == ra2
         assert ra1["health_score"] != rb["health_score"]
+
+
+def days_ago_ts(days: int) -> int:
+    return NOW_TS - days * 86400
+
+
+class TestEnhancedHealthReport:
+    """Reference enricher's _calculate_enhanced_health_score
+    (test_health_score.py:1602-1738, enrichers/health_calculator.py:
+    104-223): conditional GitHub-bonus breakdown keys, 100 cap,
+    activity problems folded into recency, issue bonus gated on both
+    keys + stars > 0."""
+
+    FULL_BASE = {
+        "upload_timestamp": days_ago_ts(30),  # 40 points
+        "docs_url": "https://docs.example.com",  # +4
+        "description": "A" * 151
+        + '<img src="https://example.com/screenshot.png" width="400">',
+        "project_urls": {"Documentation": "https://docs.example.com"},  # +3
+        "maintainer": "Team",  # 10
+        "license": "MIT",  # 10
+        "classifiers": ["A", "B", "C"],  # 10
+    }
+
+    def test_with_github_data(self):
+        # test_health_score.py:1602-1639
+        data = dict(
+            self.FULL_BASE,
+            github_stars=500,  # +7
+            github_updated=days_ago_ts(20),  # +10
+            github_open_issues=10,  # 0.02 ratio -> +10
+        )
+        result = tf.enhanced_health_report(data, NOW_TS)
+        assert result["health_score"] == 100
+        bd = result["health_score_breakdown"]
+        for key in (
+            "github_stars_bonus",
+            "github_activity_bonus",
+            "github_issue_bonus",
+            "github_bonus_total",
+        ):
+            assert key in bd
+        assert bd["recency"]["points"] == 40
+        assert bd["documentation"]["points"] == 30
+        assert bd["metadata"]["points"] == 30
+
+    def test_capped_at_100(self):
+        # test_health_score.py:1641-1666
+        data = dict(
+            self.FULL_BASE,
+            upload_timestamp=NOW_TS,
+            github_stars=2000,  # +10
+            github_updated=days_ago_ts(10),  # +10
+            github_open_issues=5,  # 0.0025 -> +10
+        )
+        result = tf.enhanced_health_report(data, NOW_TS)
+        assert result["health_score"] == 100  # capped, not 130
+        assert result["health_score_breakdown"]["github_bonus_total"] == 30
+
+    def test_minimal_data(self):
+        # test_health_score.py:1668-1683
+        result = tf.enhanced_health_report(
+            {"name": "test-package", "version": "1.0.0"}, NOW_TS
+        )
+        assert result["health_score"] == 0
+        bd = result["health_score_breakdown"]
+        assert bd["recency"]["points"] == 0
+        assert bd["documentation"]["points"] == 0
+        assert bd["metadata"]["points"] == 0
+
+    def test_partial_github_data(self):
+        # test_health_score.py:1685-1705: stars only -> stars key
+        # present, activity key absent
+        data = {
+            "upload_timestamp": days_ago_ts(400),  # 20 points
+            "maintainer": "Team",  # 10 points
+            "github_stars": 100,  # +5
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        assert result["health_score"] == 35
+        bd = result["health_score_breakdown"]
+        assert "github_stars_bonus" in bd
+        assert "github_activity_bonus" not in bd
+
+    def test_no_github_data(self):
+        # test_health_score.py:1707-1738
+        data = {
+            "upload_timestamp": NOW_TS,  # 40
+            "maintainer": "Team",
+            "license": "MIT",
+            "classifiers": ["A", "B", "C"],  # 30 metadata
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        assert result["health_score"] == 70
+        bd = result["health_score_breakdown"]
+        for key in (
+            "github_stars_bonus",
+            "github_activity_bonus",
+            "github_issue_bonus",
+            "github_bonus_total",
+        ):
+            assert key not in bd
+
+    def test_last_calculated_is_injected_now(self):
+        # reference stamps time.time() (health_calculator.py:221);
+        # deterministic now_ts here
+        result = tf.enhanced_health_report({}, NOW_TS)
+        assert result["health_score_last_calculated"] == NOW_TS
+
+
+class TestEnricherProblemsIntegration:
+    """Reference test_health_score.py:2020-2203 — GitHub-derived
+    problem/bonus strings folded into the base breakdown."""
+
+    def test_problems_with_github_ones(self):
+        # test_health_score.py:2020-2063
+        data = {
+            "upload_timestamp": days_ago_ts(400),
+            "description": "Short",
+            "maintainer": "Team",
+            "github_stars": 100,
+            "github_updated": days_ago_ts(400),  # stale -> activity 0
+            "github_open_issues": 200,  # 2.0 ratio: no bonus, no problem
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        bd = result["health_score_breakdown"]
+        assert DOC_PROBLEM in bd["documentation"]["problems"]
+        assert "no license" in bd["metadata"]["problems"]
+        assert "last release over 1 year ago" in bd["recency"]["problems"]
+        assert "no GitHub activity in 1+ year" in bd["recency"]["problems"]
+
+    def test_github_problems_calculated_once(self):
+        # test_health_score.py:2065-2088
+        data = {
+            "upload_timestamp": days_ago_ts(400),
+            "maintainer": "Team",
+            "github_stars": 100,
+            "github_updated": days_ago_ts(400),
+            "github_open_issues": 200,
+        }
+        problems = tf.enhanced_health_report(data, NOW_TS)[
+            "health_score_breakdown"
+        ]["recency"]["problems"]
+        assert problems.count("no GitHub activity in 1+ year") == 1
+
+    def test_limited_activity_problem(self):
+        # test_health_score.py:2090-2113: 200 days -> bonus 3 + problem
+        data = {
+            "upload_timestamp": NOW_TS,
+            "maintainer": "Team",
+            "github_stars": 100,
+            "github_updated": days_ago_ts(200),
+            "github_open_issues": 10,
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        bd = result["health_score_breakdown"]
+        assert bd["github_activity_bonus"] == 3
+        assert "limited GitHub activity (6+ months)" in bd["recency"]["problems"]
+
+    def test_good_issue_management_bonus(self):
+        # test_health_score.py:2115-2137: ratio 0.1 -> bonus 7 + string
+        data = {
+            "upload_timestamp": NOW_TS,
+            "maintainer": "Team",
+            "github_stars": 100,
+            "github_updated": days_ago_ts(10),
+            "github_open_issues": 10,
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        bd = result["health_score_breakdown"]
+        assert bd["github_issue_bonus"] == 7
+        assert "good issue management" in bd["metadata"]["bonuses"]
+
+    def test_no_issue_bonus_message_for_poor_ratio(self):
+        # test_health_score.py:2139-2165: ratio 2.0 -> key absent,
+        # neither a problem nor a bonus string
+        data = {
+            "upload_timestamp": NOW_TS,
+            "maintainer": "Team",
+            "github_stars": 100,
+            "github_updated": days_ago_ts(10),
+            "github_open_issues": 200,
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        bd = result["health_score_breakdown"]
+        assert "github_issue_bonus" not in bd
+        assert (
+            "high open issues to stars ratio (>1.0)"
+            not in bd["metadata"]["problems"]
+        )
+        assert "good issue management" not in bd["metadata"]["bonuses"]
+
+    def test_no_issue_bonus_message_for_marginal_ratio(self):
+        # test_health_score.py:2167-2202: ratio 0.7 -> bonus 3, no string
+        data = {
+            "upload_timestamp": NOW_TS,
+            "maintainer": "Team",
+            "github_stars": 100,
+            "github_updated": days_ago_ts(10),
+            "github_open_issues": 70,
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        bd = result["health_score_breakdown"]
+        assert bd["github_issue_bonus"] == 3
+        assert (
+            "elevated open issues ratio (>0.5)"
+            not in bd["metadata"]["problems"]
+        )
+        assert "good issue management" not in bd["metadata"]["bonuses"]
+
+    def test_issue_bonus_requires_both_keys(self):
+        # health_calculator.py:168-180: no github_open_issues key ->
+        # no issue bonus even with stars
+        data = {
+            "upload_timestamp": NOW_TS,
+            "github_stars": 2000,
+            "github_updated": days_ago_ts(10),
+        }
+        bd = tf.enhanced_health_report(data, NOW_TS)["health_score_breakdown"]
+        assert "github_issue_bonus" not in bd
+        assert bd["github_bonus_total"] == 20  # stars 10 + activity 10
+
+    def test_zero_stars_skips_issue_bonus(self):
+        # health_calculator.py:171: stars == 0 -> ratio undefined
+        data = {
+            "upload_timestamp": NOW_TS,
+            "github_stars": 0,
+            "github_open_issues": 0,
+        }
+        bd = tf.enhanced_health_report(data, NOW_TS)["health_score_breakdown"]
+        assert "github_issue_bonus" not in bd
+        assert "github_bonus_total" not in bd
+
+
+class TestScreenshotBonusAccounting:
+    """Reference test_health_score.py:2204-2282 — screenshots are a
+    bonus, never a penalty."""
+
+    def test_missing_screenshot_is_not_a_problem(self):
+        data = {"description": "A" * 151, "docs_url": "https://docs.example.com"}
+        score, problems, bonuses = tf._docs_with_problems(data)
+        assert (
+            "no meaningful screenshots in documentation" not in problems
+        )
+        assert not any(
+            b["reason"] == "has meaningful screenshots" for b in bonuses
+        )
+
+    def test_screenshot_bonus_when_present(self):
+        data = {
+            "description": "A" * 151
+            + '<img src="https://example.com/screenshot.png" width="400">',
+            "docs_url": "https://docs.example.com",
+        }
+        _, _, bonuses = tf._docs_with_problems(data)
+        shot = next(
+            (b for b in bonuses if b["reason"] == "has meaningful screenshots"),
+            None,
+        )
+        assert shot is not None and shot["points"] == 5
+
+    def test_screenshot_adds_exactly_5(self):
+        without = {"description": "A" * 151, "docs_url": "https://docs.example.com"}
+        with_shot = dict(
+            without,
+            description="A" * 151
+            + '<img src="https://example.com/screenshot.png" width="400">',
+        )
+        s0, _, _ = tf._docs_with_problems(without)
+        s1, _, _ = tf._docs_with_problems(with_shot)
+        assert s1 == s0 + 5
+
+    def test_all_bonuses_tracked(self):
+        data = {
+            "docs_url": "https://docs.example.com",
+            "description": "A" * 151
+            + '<img src="https://example.com/screenshot.png" width="400">',
+            "project_urls": {"Documentation": "https://docs.example.com"},
+        }
+        score, _, bonuses = tf._docs_with_problems(data)
+        reasons = {b["reason"] for b in bonuses}
+        assert reasons == {
+            "has dedicated docs URL",
+            "has documentation project URL",
+            "has meaningful screenshots",
+        }
+        assert score == 30
+
+
+class TestNpmMetadataScoring:
+    """Reference test_health_score.py:2284-2361 — npm uses keywords
+    where pypi uses classifiers."""
+
+    def test_npm_3_keywords_is_10(self):
+        data = {"registry": "npm", "keywords": ["volto", "addon", "plone"]}
+        assert tf._metadata_score(data) == 10
+
+    def test_npm_fewer_keywords_reports_keyword_problem(self):
+        score, problems, _ = tf._metadata_with_problems(
+            {"registry": "npm", "keywords": ["volto"]}
+        )
+        assert score == 0
+        assert "fewer than 3 keywords" in problems
+        assert "fewer than 3 classifiers" not in problems
+
+    def test_npm_ignores_classifiers(self):
+        data = {
+            "registry": "npm",
+            "classifiers": [],
+            "keywords": ["volto", "addon", "plone", "eea"],
+        }
+        assert tf._metadata_score(data) == 10
+
+    def test_pypi_uses_classifiers_even_with_keywords(self):
+        data = {
+            "registry": "pypi",
+            "classifiers": ["A", "B", "C"],
+            "keywords": [],
+        }
+        assert tf._metadata_score(data) == 10
+
+    def test_default_registry_uses_classifiers(self):
+        assert tf._metadata_score({"classifiers": ["A", "B", "C"]}) == 10
+
+    def test_npm_empty_keywords_reports_problem(self):
+        score, problems, _ = tf._metadata_with_problems(
+            {"registry": "npm", "keywords": []}
+        )
+        assert score == 0 and "fewer than 3 keywords" in problems
+
+    def test_npm_full_metadata_is_30(self):
+        data = {
+            "registry": "npm",
+            "maintainer": "EEA",
+            "license": "MIT",
+            "keywords": ["volto", "addon", "plone", "eea"],
+        }
+        assert tf._metadata_score(data) == 30
+
+    def test_npm_integrated_health_score(self):
+        # test_health_score.py:2353-2361: full npm package through the
+        # enhanced path
+        data = {
+            "name": "@eeacms/volto-n2k",
+            "registry": "npm",
+            "version": "1.0.0",
+            "upload_timestamp": NOW_TS,  # 40
+            "docs_url": "https://docs.example.com",  # +4
+            "description": "A" * 151,  # 18
+            "maintainer": "EEA",
+            "license": "MIT",
+            "keywords": ["volto", "addon", "plone"],  # 30 metadata
+        }
+        result = tf.enhanced_health_report(data, NOW_TS)
+        assert result["health_score"] == 92  # 40 + 22 + 30
+        bd = result["health_score_breakdown"]
+        assert bd["metadata"]["points"] == 30
+        assert "fewer than 3 keywords" not in bd["metadata"]["problems"]
