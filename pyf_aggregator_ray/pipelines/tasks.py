@@ -130,30 +130,97 @@ def update_project(package_id: str | None, lookup: PackageLookup) -> dict:
     }
 
 
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    raw = os.getenv(name)
+    return int(raw) if raw not in (None, "") else default
+
+
+def rss_dedup_ttls() -> tuple[int, int]:
+    """Per-feed-type dedup TTLs with the legacy fallback chain
+    (queue.py:43-49): RSS_DEDUP_TTL_NEW / RSS_DEDUP_TTL_UPDATE each
+    default to the legacy RSS_DEDUP_TTL, then to 86400. Read at call
+    time (the reference reads at import; call-time keeps tests
+    deterministic)."""
+    import os
+
+    legacy = os.getenv("RSS_DEDUP_TTL")
+    legacy_int = int(legacy) if legacy not in (None, "") else 86400
+    return (
+        _env_int("RSS_DEDUP_TTL_NEW", legacy_int),
+        _env_int("RSS_DEDUP_TTL_UPDATE", legacy_int),
+    )
+
+
 class SeenStore:
-    """In-memory analog of the reference's Redis ``SET NX`` dedup store
-    (mark_seen returns True exactly once per key). ``fail=True``
-    simulates a store outage."""
+    """In-memory analog of the reference's Redis ``SET NX EX`` dedup
+    store: ``set_nx_ex`` returns True exactly once per key per TTL
+    window. ``fail=True`` simulates a store outage; ``clock`` injects a
+    deterministic time source (TTL expiry without wall-clock sleeps)."""
 
-    def __init__(self, fail: bool = False):
-        self._seen: set[str] = set()
+    def __init__(self, fail: bool = False, clock=None):
+        self._expiry: dict[str, float] = {}
         self.fail = fail
+        self._clock = clock or (lambda: 0.0)
+        self.last_ttl: int | None = None
 
-    def mark_seen(self, key: str) -> bool:
+    def set_nx_ex(self, key: str, ttl: int) -> bool:
         if self.fail:
             raise ConnectionError("dedup store unavailable")
-        if key in self._seen:
+        self.last_ttl = ttl
+        now = self._clock()
+        expires = self._expiry.get(key)
+        if expires is not None and expires > now:
             return False
-        self._seen.add(key)
+        self._expiry[key] = now + ttl
         return True
 
+    # legacy shim used by older call sites/tests
+    def mark_seen(self, key: str) -> bool:
+        return self.set_nx_ex(key, 1 << 31)
 
-def _dedup_key(feed_type: str, parsed: dict) -> str:
-    """new-package feeds dedup on the package id; release feeds on
-    (package, release) — queue.py:617-660, 789-823."""
-    if feed_type == "new":
-        return f"{feed_type}:{parsed['package_id']}"
-    return f"{feed_type}:{parsed['package_id']}:{parsed.get('release_id') or ''}"
+
+def dedup_key(package_id: str, release_id=None, feed_type: str = "new") -> str:
+    """Reference-verbatim key formats (queue.py:548-550,574-579):
+    ``pyf:dedup:new:{id}``; update feeds append the release id when
+    present so different versions of one package both queue. Any
+    non-"new" feed type ("update", this engine's "release" alias) is
+    update-style — the key prefix stays the reference's literal
+    ``update``."""
+    if feed_type != "new" and release_id:
+        return f"pyf:dedup:update:{package_id}:{release_id}"
+    if feed_type != "new":
+        return f"pyf:dedup:update:{package_id}"
+    return f"pyf:dedup:new:{package_id}"
+
+
+def is_package_recently_queued(
+    package_id: str,
+    release_id=None,
+    feed_type: str = "new",
+    ttl: int | None = None,
+    store: SeenStore | None = None,
+) -> bool:
+    """The reference's atomic check-and-mark (queue.py:539-588): True =
+    duplicate within the TTL window (skip), False = new (proceed). TTL
+    defaults per feed type; ``ttl == 0`` disables dedup entirely; a
+    missing or failing store FAILS OPEN (returns False) so no package is
+    ever dropped — the worker side is idempotent."""
+    if ttl is None:
+        ttl_new, ttl_update = rss_dedup_ttls()
+        ttl = ttl_new if feed_type == "new" else ttl_update
+    if ttl == 0:
+        return False
+    try:
+        if store is None:
+            return False
+        was_set = store.set_nx_ex(
+            dedup_key(package_id, release_id, feed_type), ttl
+        )
+        return not was_set
+    except Exception:
+        return False
 
 
 def queue_from_feed(
@@ -176,11 +243,12 @@ def queue_from_feed(
         if parsed is None:
             invalid += 1
             continue
-        try:
-            fresh = seen.mark_seen(_dedup_key(feed_type, parsed))
-        except Exception:
-            fresh = True  # dedup failure must not drop work
-        if not fresh:
+        if is_package_recently_queued(
+            parsed["package_id"],
+            parsed.get("release_id"),
+            feed_type=feed_type,
+            store=seen,
+        ):
             skipped += 1
             continue
         queued.append(parsed)

@@ -205,3 +205,130 @@ def test_inspect_stage_partial_failure(ray_session):
     assert out.loc["requests", "reason"] == "no_plone_classifier"
     assert out.loc["nonexistent", "reason"] == "fetch_failed"
     assert (out["status"] == "indexed").sum() == 1
+
+
+class TestRSSDeduplication:
+    """Reference test_queue.py:1532-1710 — the SET NX EX dedup contract
+    over the in-memory store analog (pipelines/tk.py): key formats,
+    per-feed-type TTL defaults, ttl=0 disable, TTL expiry, fail-open."""
+
+    def test_first_check_returns_false(self):
+        store = tk.SeenStore()
+        assert (
+            tk.is_package_recently_queued("new-package", store=store)
+            is False
+        )
+        # reference key format + default NEW ttl (queue.py:579,563-564)
+        assert "pyf:dedup:new:new-package" in store._expiry
+        assert store.last_ttl == tk.rss_dedup_ttls()[0]
+
+    def test_duplicate_check_returns_true(self):
+        store = tk.SeenStore()
+        assert tk.is_package_recently_queued("existing", store=store) is False
+        assert tk.is_package_recently_queued("existing", store=store) is True
+
+    def test_store_unavailable_returns_false(self):
+        # fail-open: no store at all
+        assert tk.is_package_recently_queued("pkg", store=None) is False
+
+    def test_store_error_returns_false(self):
+        assert (
+            tk.is_package_recently_queued(
+                "pkg", store=tk.SeenStore(fail=True)
+            )
+            is False
+        )
+
+    def test_custom_ttl_is_used(self):
+        store = tk.SeenStore()
+        tk.is_package_recently_queued("pkg", ttl=999, store=store)
+        assert store.last_ttl == 999
+
+    def test_ttl_zero_disables_dedup(self):
+        store = tk.SeenStore()
+        for _ in range(3):
+            assert (
+                tk.is_package_recently_queued("pkg", ttl=0, store=store)
+                is False
+            )
+        assert store._expiry == {}  # never touched the store
+
+    def test_ttl_expiry_allows_requeue(self):
+        # the EX in SET NX EX: after the window the same key queues again
+        clock = {"t": 0.0}
+        store = tk.SeenStore(clock=lambda: clock["t"])
+        assert tk.is_package_recently_queued("pkg", ttl=60, store=store) is False
+        assert tk.is_package_recently_queued("pkg", ttl=60, store=store) is True
+        clock["t"] = 61.0
+        assert tk.is_package_recently_queued("pkg", ttl=60, store=store) is False
+
+    def test_dedup_key_format(self):
+        assert tk.dedup_key("foo") == "pyf:dedup:new:foo"
+
+    def test_new_package_dedup_key_uses_new_prefix(self):
+        assert tk.dedup_key("foo", feed_type="new") == "pyf:dedup:new:foo"
+
+    def test_update_dedup_key_includes_release_id(self):
+        assert (
+            tk.dedup_key("foo", "1.0", feed_type="update")
+            == "pyf:dedup:update:foo:1.0"
+        )
+
+    def test_update_without_release_id_falls_back(self):
+        assert (
+            tk.dedup_key("foo", feed_type="update") == "pyf:dedup:update:foo"
+        )
+
+    def test_different_versions_not_deduplicated(self):
+        store = tk.SeenStore()
+        assert (
+            tk.is_package_recently_queued(
+                "foo", release_id="1.0", feed_type="update", store=store
+            )
+            is False
+        )
+        assert (
+            tk.is_package_recently_queued(
+                "foo", release_id="2.0", feed_type="update", store=store
+            )
+            is False
+        )
+        assert "pyf:dedup:update:foo:1.0" in store._expiry
+        assert "pyf:dedup:update:foo:2.0" in store._expiry
+
+    def test_default_feed_type_is_new(self):
+        store = tk.SeenStore()
+        tk.is_package_recently_queued("some-pkg", store=store)
+        assert "pyf:dedup:new:some-pkg" in store._expiry
+
+    def test_new_feed_uses_new_ttl(self, monkeypatch):
+        monkeypatch.setenv("RSS_DEDUP_TTL_NEW", "111")
+        monkeypatch.setenv("RSS_DEDUP_TTL_UPDATE", "222")
+        store = tk.SeenStore()
+        tk.is_package_recently_queued("pkg", feed_type="new", store=store)
+        assert store.last_ttl == 111
+
+    def test_update_feed_uses_update_ttl(self, monkeypatch):
+        monkeypatch.setenv("RSS_DEDUP_TTL_NEW", "111")
+        monkeypatch.setenv("RSS_DEDUP_TTL_UPDATE", "222")
+        store = tk.SeenStore()
+        tk.is_package_recently_queued("pkg", feed_type="update", store=store)
+        assert store.last_ttl == 222
+
+    def test_explicit_ttl_overrides_feed_type_default(self, monkeypatch):
+        monkeypatch.setenv("RSS_DEDUP_TTL_NEW", "111")
+        store = tk.SeenStore()
+        tk.is_package_recently_queued("pkg", feed_type="new", ttl=999, store=store)
+        assert store.last_ttl == 999
+
+    def test_legacy_ttl_env_is_fallback_for_both(self, monkeypatch):
+        # queue.py:45-49: RSS_DEDUP_TTL backfills both feed types
+        monkeypatch.delenv("RSS_DEDUP_TTL_NEW", raising=False)
+        monkeypatch.delenv("RSS_DEDUP_TTL_UPDATE", raising=False)
+        monkeypatch.setenv("RSS_DEDUP_TTL", "333")
+        assert tk.rss_dedup_ttls() == (333, 333)
+
+    def test_default_ttls_are_86400(self, monkeypatch):
+        for var in ("RSS_DEDUP_TTL", "RSS_DEDUP_TTL_NEW", "RSS_DEDUP_TTL_UPDATE"):
+            monkeypatch.delenv(var, raising=False)
+        assert tk.rss_dedup_ttls() == (86400, 86400)
