@@ -306,3 +306,130 @@ def package_transform_with_report(
         return pa.concat_tables(tables) if tables else None
     finally:
         finalize_problem_report(report_dir)
+
+
+# ---------------------------------------------------------------------------
+# not-found fallback across versions (reference github.py:230-263,395-455)
+# ---------------------------------------------------------------------------
+
+RESOLVE_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("repo_identifier", pa.string()),
+        ("resolved", pa.bool_()),
+        ("fallback", pa.bool_()),
+        ("reason", pa.string()),
+    ]
+)
+
+
+def resolve_repo_with_fallback(versions: list[dict], repo_exists) -> dict:
+    """One package's versions -> the reference's enrich resolution
+    (``github.py:200-263``): the NEWEST version's repo identifier is
+    primary. No GitHub-shaped URL anywhere on it = ``no_repo_url``; a
+    malformed capture = ``malformed_identifier`` (the reference
+    ``continue``s — malformed never falls back). A valid identifier
+    that does not resolve (the 404 analog: ``repo_exists`` is False)
+    falls back to the newest OTHER version whose distinct valid
+    identifier resolves (``_find_working_repo_in_versions``,
+    ``github.py:438-455``: newest-first walk, ``tried`` dedup); when no
+    version resolves, the problem is ``not_found`` recorded against the
+    PRIMARY identifier."""
+    ordered = sorted(
+        versions,
+        key=lambda d: (d.get("upload_timestamp") or 0),
+        reverse=True,
+    )
+    newest = ordered[0]
+    name = newest.get("name")
+    primary, reason = classify_repo_problem(newest)
+    if reason is not None:
+        return {
+            "name": name,
+            "repo_identifier": primary,
+            "resolved": False,
+            "fallback": False,
+            "reason": reason,
+        }
+    if repo_exists(primary):
+        return {
+            "name": name,
+            "repo_identifier": primary,
+            "resolved": True,
+            "fallback": False,
+            "reason": None,
+        }
+    tried = {primary}
+    for doc in ordered:
+        identifier = tf.resolve_repo_identifier(doc)
+        if not identifier or identifier in tried:
+            continue
+        tried.add(identifier)
+        if repo_exists(identifier):
+            return {
+                "name": name,
+                "repo_identifier": identifier,
+                "resolved": True,
+                "fallback": True,
+                "reason": None,
+            }
+    return {
+        "name": name,
+        "repo_identifier": primary,
+        "resolved": False,
+        "fallback": False,
+        "reason": "not_found",
+    }
+
+
+def resolve_repos_with_fallback(ds, known_repos: set[str], n_buckets: int = 64):
+    """Distributed resolution over a docs Dataset: ONE row out per
+    package. The known-repo set rides the object store once
+    (``ray.put`` broadcast — never re-shipped per batch) and packages
+    hash-bucket so the shuffle is a single coarse groupby and each
+    Python dispatch covers a whole bucket of packages, not one
+    (the relational.py ``_by_bucket`` scale shape)."""
+    import zlib
+
+    import numpy as np
+
+    import ray
+
+    repos_ref = ray.put(frozenset(known_repos))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        names = t["name"].to_pylist()
+        buckets = np.array(
+            [zlib.crc32((n or "").encode()) % n_buckets for n in names],
+            dtype=np.int64,
+        )
+        return t.append_column("bucket", pa.array(buckets))
+
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        known = ray.get(repos_ref)
+        exists = known.__contains__
+        by_name: dict[str, list[dict]] = {}
+        for doc in t.to_pylist():
+            by_name.setdefault(doc.get("name"), []).append(doc)
+        rows = [
+            resolve_repo_with_fallback(docs, exists)
+            for _, docs in sorted(by_name.items(), key=lambda kv: kv[0] or "")
+        ]
+        return pa.table(
+            {
+                "name": pa.array([r["name"] for r in rows], pa.string()),
+                "repo_identifier": pa.array(
+                    [r["repo_identifier"] for r in rows], pa.string()
+                ),
+                "resolved": pa.array([r["resolved"] for r in rows], pa.bool_()),
+                "fallback": pa.array([r["fallback"] for r in rows], pa.bool_()),
+                "reason": pa.array([r["reason"] for r in rows], pa.string()),
+            },
+            schema=RESOLVE_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve_bucket, batch_format="pyarrow")
+    )

@@ -215,3 +215,133 @@ def test_profile_run_side_writes_report(ray_session, tmp_path):
     if out["n_problems"]:
         data = json.loads((tmp_path / "github_problems.json").read_text())
         assert data["count"] == out["n_problems"]
+
+
+class TestNotFoundFallback:
+    """Reference test_github_enricher.py:727-830 — the 404 fallback
+    across versions, over the sandbox's repo-exists set."""
+
+    NEWEST = {
+        "id": "my.pkg-2.0.0",
+        "name": "my.pkg",
+        "upload_timestamp": 200,
+        "home_page": "https://github.com/old-org/my.pkg",
+    }
+    OLDER = {
+        "id": "my.pkg-1.0.0",
+        "name": "my.pkg",
+        "upload_timestamp": 100,
+        "home_page": "https://github.com/new-org/my.pkg",
+    }
+
+    def test_falls_back_to_working_repo_from_other_version(self):
+        exists = {"new-org/my.pkg"}.__contains__
+        res = pr.resolve_repo_with_fallback([self.OLDER, self.NEWEST], exists)
+        assert res["resolved"] is True
+        assert res["fallback"] is True
+        assert res["repo_identifier"] == "new-org/my.pkg"
+        assert res["reason"] is None
+
+    def test_records_not_found_when_no_version_resolves(self):
+        res = pr.resolve_repo_with_fallback(
+            [self.OLDER, self.NEWEST], lambda _: False
+        )
+        assert res["resolved"] is False
+        assert res["reason"] == "not_found"
+        # the originally-resolved (newest) identifier is reported
+        assert res["repo_identifier"] == "old-org/my.pkg"
+
+    def test_primary_resolving_needs_no_fallback(self):
+        exists = {"old-org/my.pkg", "new-org/my.pkg"}.__contains__
+        res = pr.resolve_repo_with_fallback([self.NEWEST, self.OLDER], exists)
+        assert res["resolved"] is True and res["fallback"] is False
+        assert res["repo_identifier"] == "old-org/my.pkg"
+
+    def test_newest_version_decides_primary_regardless_of_order(self):
+        # input order must not matter — upload_timestamp does
+        res = pr.resolve_repo_with_fallback(
+            [self.OLDER, self.NEWEST], lambda _: False
+        )
+        assert res["repo_identifier"] == "old-org/my.pkg"
+
+    def test_malformed_identifier_never_falls_back(self):
+        # github.py:207-220: malformed continues before any GitHub call
+        newest = {
+            "name": "my.pkg",
+            "upload_timestamp": 300,
+            "home_page": "https://github.com/orgs/my.pkg",  # reserved owner
+        }
+        res = pr.resolve_repo_with_fallback(
+            [self.OLDER, newest], {"new-org/my.pkg"}.__contains__
+        )
+        assert res["resolved"] is False
+        assert res["reason"] == "malformed_identifier"
+
+    def test_no_repo_url_when_no_github_shaped_url(self):
+        res = pr.resolve_repo_with_fallback(
+            [{"name": "my.pkg", "upload_timestamp": 1,
+              "home_page": "https://example.com/my.pkg"}],
+            lambda _: True,
+        )
+        assert res["reason"] == "no_repo_url"
+        assert res["repo_identifier"] is None
+
+    def test_fallback_walks_newest_first_and_dedups_tried(self):
+        calls = []
+
+        def exists(ident):
+            calls.append(ident)
+            return ident == "c/r"
+
+        versions = [
+            {"name": "p", "upload_timestamp": 4,
+             "home_page": "https://github.com/a/r"},  # primary, 404
+            {"name": "p", "upload_timestamp": 3,
+             "home_page": "https://github.com/a/r"},  # same as tried — skipped
+            {"name": "p", "upload_timestamp": 2,
+             "home_page": "https://github.com/b/r"},  # 404
+            {"name": "p", "upload_timestamp": 1,
+             "home_page": "https://github.com/c/r"},  # works
+        ]
+        res = pr.resolve_repo_with_fallback(versions, exists)
+        assert res["repo_identifier"] == "c/r" and res["fallback"] is True
+        assert calls == ["a/r", "b/r", "c/r"]
+
+
+def test_distributed_fallback_resolution(ray_session):
+    """resolve_repos_with_fallback: one output row per package, the
+    known-repo set broadcast once, packages bucket-grouped."""
+    import ray.data
+
+    docs = []
+    for name, org_by_version in [
+        ("pkg.a", {2: "live-org", 1: "dead-org"}),      # primary resolves
+        ("pkg.b", {2: "dead-org", 1: "live-org"}),      # falls back
+        ("pkg.c", {2: "dead-org", 1: "gone-org"}),      # not found
+    ]:
+        for ver, org in org_by_version.items():
+            docs.append(
+                {
+                    "name": name,
+                    "upload_timestamp": ver,
+                    "home_page": f"https://github.com/{org}/{name}",
+                }
+            )
+    docs.append({"name": "pkg.d", "upload_timestamp": 1,
+                 "home_page": "https://example.com/x"})  # no repo url
+    known = {"live-org/pkg.a", "live-org/pkg.b"}
+    out = (
+        pr.resolve_repos_with_fallback(ray.data.from_items(docs), known)
+        .to_pandas()
+        .set_index("name")
+        .sort_index()
+    )
+    assert len(out) == 4
+    assert out.loc["pkg.a", "resolved"] and not out.loc["pkg.a", "fallback"]
+    assert out.loc["pkg.a", "repo_identifier"] == "live-org/pkg.a"
+    assert out.loc["pkg.b", "resolved"] and out.loc["pkg.b", "fallback"]
+    assert out.loc["pkg.b", "repo_identifier"] == "live-org/pkg.b"
+    assert not out.loc["pkg.c", "resolved"]
+    assert out.loc["pkg.c", "reason"] == "not_found"
+    assert out.loc["pkg.c", "repo_identifier"] == "dead-org/pkg.c"
+    assert out.loc["pkg.d", "reason"] == "no_repo_url"
