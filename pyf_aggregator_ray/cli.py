@@ -36,6 +36,21 @@ def _ensure_ray() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
+def _confirm_delete_old(
+    keep_old: bool, force: bool, old_version: str, ask=input
+) -> bool:
+    """The reference recreate CLI's deletion decision
+    (``typesense_util.py:446-462``): --keep-old never deletes and never
+    asks; --force deletes without asking; otherwise prompt with default
+    YES — any answer except "n"/"N" deletes."""
+    if keep_old:
+        return False
+    if force:
+        return True
+    confirm = ask(f"Delete old index version {old_version}? (Y/n): ")
+    return confirm.strip().lower() != "n"
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyf_aggregator_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +132,12 @@ def main(argv: list[str] | None = None) -> int:
         "--keep-old",
         action="store_true",
         help="keep the old version dir for manual deletion (default deletes)",
+    )
+    rc.add_argument(
+        "--force",
+        action="store_true",
+        help="delete the old version without the confirmation prompt "
+        "(reference typesense_util --force)",
     )
 
     pr = sub.add_parser("profiles", help="list/validate YAML profiles")
@@ -251,11 +272,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"version": manifest["version"],
                               "kind": manifest["kind"]}))
         elif args.cmd == "recreate":
-            from .pipelines.maintenance import recreate_index
-
-            result = recreate_index(
-                args.index_root, delete_old=not args.keep_old
+            # the reference CLI flow (typesense_util.py:446-462): migrate
+            # first with delete_old=False, THEN decide deletion —
+            # --force skips the prompt; the prompt's default is Yes
+            # (anything but "n" deletes); --keep-old never asks
+            from .pipelines.maintenance import (
+                delete_index_version,
+                recreate_index,
             )
+
+            result = recreate_index(args.index_root, delete_old=False)
+            deleted = _confirm_delete_old(
+                args.keep_old, args.force, result["old_version"]
+            )
+            if deleted:
+                delete_index_version(args.index_root, result["old_version"])
+            result["deleted_old"] = deleted
             print(json.dumps(result))
         elif args.cmd == "packages":
             from .pipelines.packagepipe import profile_package_run

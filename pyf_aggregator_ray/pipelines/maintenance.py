@@ -385,6 +385,24 @@ def recreate_index(index_root: str, delete_old: bool = True) -> dict:
     }
 
 
+def delete_index_version(index_root: str, version_dir: str) -> bool:
+    """Delete one retired version directory (the CLI confirmation
+    flow's deferred delete — reference ``typesense_util.py:446-462``:
+    recreate migrates with delete_old=False, then deletes on user
+    confirmation). Refuses the LIVE alias target — the reference can
+    never delete the collection its alias points at mid-flow."""
+    import shutil as _sh
+
+    live = mf.read_alias(index_root)
+    target = os.path.abspath(version_dir)
+    if live and os.path.abspath(live) == target:
+        raise ValueError(f"refusing to delete live version {version_dir}")
+    if not os.path.isdir(target):
+        return False
+    _sh.rmtree(target, ignore_errors=True)
+    return True
+
+
 # Enrichment-ONLY fields (the reference's GITHUB_FIELDS, main.py:17-25):
 # these are never recomputed by a refresh, so a falsy fresh value means
 # "missing" and coalescing from the old doc is correct. Fields the chain

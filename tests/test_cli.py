@@ -55,3 +55,70 @@ def test_search_subcommand(ray_session):
         assert {"rank", "doc_id", "score", "first_pos", "snippet"} <= set(row)
     if out:
         assert out[0]["rank"] == 4  # global ranks, page-2 window
+
+
+class TestRecreateConfirmation:
+    """Reference test_typesense_util.py:495-657 — the recreate CLI's
+    deletion confirmation: default Yes, 'n' keeps, --force skips the
+    prompt, --keep-old never asks."""
+
+    def _decide(self, keep_old=False, force=False, answer=None):
+        from pyf_aggregator_ray.cli import _confirm_delete_old
+
+        asked = []
+
+        def ask(prompt):
+            asked.append(prompt)
+            return answer if answer is not None else ""
+
+        decided = _confirm_delete_old(keep_old, force, "v001", ask=ask)
+        return decided, asked
+
+    def test_confirmation_yes_deletes(self):
+        deleted, asked = self._decide(answer="y")
+        assert deleted is True and len(asked) == 1
+
+    def test_confirmation_empty_deletes(self):
+        # Enter = default Yes
+        deleted, asked = self._decide(answer="")
+        assert deleted is True and len(asked) == 1
+
+    def test_confirmation_no_keeps(self):
+        deleted, asked = self._decide(answer="n")
+        assert deleted is False
+        deleted, _ = self._decide(answer="N")
+        assert deleted is False
+
+    def test_force_skips_confirmation(self):
+        deleted, asked = self._decide(force=True, answer="n")
+        assert deleted is True and asked == []
+
+    def test_keep_old_never_asks(self):
+        deleted, asked = self._decide(keep_old=True, force=True)
+        assert deleted is False and asked == []
+
+    def test_prompt_names_the_version(self):
+        _, asked = self._decide(answer="y")
+        assert "v001" in asked[0]
+
+
+def test_delete_index_version_guards_live(tmp_path):
+    """delete_index_version refuses the live alias target and reports
+    missing dirs; a retired dir really goes away."""
+    from pyf_aggregator_ray.pipelines.maintenance import delete_index_version
+    from pyf_aggregator_ray.state import manifest as mf
+
+    root = str(tmp_path)
+    old = mf.version_dir(root, 1)
+    new = mf.version_dir(root, 2)
+    os.makedirs(old)
+    os.makedirs(new)
+    mf.switch_alias(root, 2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        delete_index_version(root, new)
+    assert delete_index_version(root, old) is True
+    assert not os.path.isdir(old)
+    assert delete_index_version(root, old) is False

@@ -114,3 +114,124 @@ def test_packument_expansion_equals_per_version_rows(ray_session):
         .reset_index(drop=True)
     )
     assert via_pk.equals(direct)
+
+
+class TestNpmPackageFiltering:
+    """Reference test_npm_fetcher.py:592-718 — the _is_valid_package
+    matrix over npm_is_valid (M16)."""
+
+    KW = ("plone",)
+    SCOPES = ("@plone",)
+
+    def test_matching_keyword(self):
+        assert npm.npm_is_valid(
+            "some-plone-addon", ["plone", "addon"], self.SCOPES, self.KW
+        )
+
+    def test_matching_scope(self):
+        assert npm.npm_is_valid("@plone/volto", [], self.SCOPES, self.KW)
+
+    def test_case_insensitive_keyword(self):
+        assert npm.npm_is_valid("some-addon", ["PLONE", "React"], (), self.KW)
+
+    def test_rejects_non_matching(self):
+        assert not npm.npm_is_valid(
+            "svelte-kit", ["svelte", "kit", "framework"], self.SCOPES, self.KW
+        )
+
+    def test_rejects_plone_in_name_only(self):
+        # the NAME never matches keywords — only scope prefixes
+        assert not npm.npm_is_valid(
+            "plone-like-framework", ["framework", "web"], self.SCOPES, self.KW
+        )
+
+    def test_handles_empty_keywords(self):
+        assert not npm.npm_is_valid("random-package", None, self.SCOPES, self.KW)
+        assert not npm.npm_is_valid("random-package", [], self.SCOPES, self.KW)
+
+    def test_handles_non_string_keywords(self):
+        assert npm.npm_is_valid(
+            "some-package", ["plone", None, 123, "other"], (), self.KW
+        )
+
+    def test_multiple_scopes(self):
+        scopes = ("@plone", "@plone-collective", "@eeacms")
+        for name, ok in [
+            ("@plone/volto", True),
+            ("@plone-collective/addon", True),
+            ("@eeacms/volto-addon", True),
+            ("@other/package", False),
+        ]:
+            assert npm.npm_is_valid(name, [], scopes, ()) is ok
+
+    def test_scope_requires_slash_boundary(self):
+        # "@plonex/addon" must not match scope "@plone"
+        assert not npm.npm_is_valid("@plonex/addon", [], ("@plone",), ())
+
+
+class TestNpmTransformCoercions:
+    """Reference test_npm_fetcher.py:365-470 — messy registry JSON
+    shapes degrade, never raise."""
+
+    def test_string_repository(self):
+        doc = npm.npm_transform_doc(
+            "pkg", "1.0.0", "2024-01-01T00:00:00Z",
+            {"repository": "git+https://github.com/o/r.git"}, "",
+        )
+        assert doc["repository_url"] == "git+https://github.com/o/r.git"
+        # homepage falls back to the normalized https form
+        assert doc["home_page"] == "https://github.com/o/r"
+
+    def test_dict_repository(self):
+        doc = npm.npm_transform_doc(
+            "pkg", "1.0.0", "",
+            {"repository": {"type": "git",
+                            "url": "git://github.com/o/r.git"}}, "",
+        )
+        assert doc["repository_url"] == "git://github.com/o/r.git"
+
+    def test_description_comes_from_readme(self):
+        # npm "description" is the one-liner (summary); the README body
+        # is the document description (test_npm_fetcher.py:448-470)
+        doc = npm.npm_transform_doc(
+            "pkg", "1.0.0", "", {"description": "one-liner"}, "# README body"
+        )
+        assert doc["summary"] == "one-liner"
+        assert doc["description"] == "# README body"
+        assert doc["description_content_type"] == "text/markdown"
+
+    def test_bugs_url(self):
+        doc = npm.npm_transform_doc(
+            "pkg", "1.0.0", "",
+            {"bugs": {"url": "https://github.com/o/r/issues"}}, "",
+        )
+        assert doc["bugtrack_url"] == "https://github.com/o/r/issues"
+
+    def test_non_string_license_degrades_empty(self):
+        doc = npm.npm_transform_doc(
+            "pkg", "1.0.0", "", {"license": {"type": "MIT"}}, ""
+        )
+        assert doc["license"] == ""
+
+    def test_package_and_release_urls_quote_scoped_names(self):
+        doc = npm.npm_transform_doc("@scope/pkg", "2.0.0", "", {}, "")
+        assert doc["package_url"] == "https://www.npmjs.com/package/%40scope%2Fpkg"
+        assert (
+            doc["release_url"]
+            == "https://www.npmjs.com/package/%40scope%2Fpkg/v/2.0.0"
+        )
+        assert doc["npm_scope"] == "scope"
+
+    def test_dependencies_become_requires_dist(self):
+        doc = npm.npm_transform_doc(
+            "pkg", "1.0.0", "", {"dependencies": {"react": "^18", "redux": "4.x"}}, ""
+        )
+        assert sorted(doc["requires_dist"]) == ["react@^18", "redux@4.x"]
+
+    def test_invalid_timestamp_is_zero(self):
+        assert (
+            npm.npm_transform_doc("p", "1", "not-a-date", {}, "")[
+                "upload_timestamp"
+            ]
+            == 0
+        )
