@@ -242,6 +242,125 @@ def delete_by_predicate(
     return delete_docs(index_root, idsets.id_array_ref(ids), cfg)
 
 
+def unique_package_names(
+    index_root: str,
+    registry: str | None = None,
+    exclude_registry: str | None = None,
+    name_col: str = "repo",
+    registry_col: str = "lang",
+) -> set[str]:
+    """The reference's grouped name walk (``db.py:250-304``), as one
+    distributed aggregate instead of a page loop:
+
+    * ``registry=R``: names having at least one document in R;
+    * ``exclude_registry=X``: drop names whose documents ALL belong to
+      X — a name indexed from both registries is KEPT (its other
+      registry's documents still need maintenance), and a legacy
+      document with a NULL registry belongs to every other registry, so
+      it keeps its name too.
+
+    One column-pruned read + per-batch distinct pairs + a small
+    groupby-max — the only driver-held object is the distinct name set
+    (the reference materializes the same set)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    docs = ray.data.read_parquet(
+        os.path.join(live, "docs"), columns=[name_col, registry_col]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("name", pa.string()), ("in_reg", pa.int8()), ("outside", pa.int8())]
+            ).empty_table()
+        reg = t[registry_col]
+        in_reg = (
+            pc.cast(pc.equal(reg, registry), pa.int8())
+            if registry
+            else pa.nulls(t.num_rows, pa.int8())
+        )
+        # NULL registry counts as OUTSIDE the excluded registry
+        outside = (
+            pc.cast(
+                pc.fill_null(pc.not_equal(reg, exclude_registry), True), pa.int8()
+            )
+            if exclude_registry
+            else pa.nulls(t.num_rows, pa.int8())
+        )
+        tt = pa.table(
+            {
+                "name": t[name_col],
+                "in_reg": pc.fill_null(in_reg, 0),
+                "outside": pc.fill_null(outside, 0),
+            }
+        )
+        out = tt.group_by("name", use_threads=False).aggregate(
+            [("in_reg", "max"), ("outside", "max")]
+        )
+        return out.rename_columns(["name", "in_reg", "outside"])
+
+    agg = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("name")
+        .aggregate(Max("in_reg", alias_name="in_reg"),
+                   Max("outside", alias_name="outside"))
+    )
+    names: set[str] = set()
+    for ref in agg.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        keep = np.ones(t.num_rows, dtype=bool)
+        if registry:
+            keep &= t["in_reg"].to_numpy(zero_copy_only=False) == 1
+        if exclude_registry:
+            keep &= t["outside"].to_numpy(zero_copy_only=False) == 1
+        names.update(np.asarray(t["name"].to_pylist(), dtype=object)[keep])
+    return names
+
+
+def delete_package_excluding_registry(
+    index_root: str,
+    package_name: str,
+    keep_registry: str,
+    cfg: EngineConfig | None = None,
+    name_col: str = "repo",
+    registry_col: str = "lang",
+) -> dict:
+    """``delete_package_by_name(..., exclude_registry=...)``
+    (``db.py:306-360``): delete a package's documents EXCEPT those of
+    ``keep_registry`` — npm and PyPI share one collection, so a
+    maintenance job for one registry must never delete the other one's
+    documents. Legacy documents with a NULL registry are treated as
+    belonging to every other registry (deleted), exactly like the
+    reference applies the exclusion on the documents rather than as a
+    ``!=`` filter."""
+    import pyarrow.compute as pc
+
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    docs = ray.data.read_parquet(
+        os.path.join(live, "docs"), columns=["doc_id", name_col, registry_col]
+    )
+
+    def matching(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        is_pkg = pc.equal(t[name_col], package_name)
+        not_kept = pc.fill_null(
+            pc.not_equal(t[registry_col], keep_registry), True
+        )
+        return t.filter(pc.and_(is_pkg, not_kept)).select(["doc_id"])
+
+    ids = docs.map_batches(matching, batch_format="pyarrow")
+    return delete_docs(index_root, idsets.id_array_ref(ids), cfg)
+
+
 def reconcile_stale(
     index_root: str,
     fresh_doc_ids: "set[int] | ray.data.Dataset",

@@ -279,3 +279,98 @@ def test_scoped_values_with_special_characters(tmp_path, ray_session):
     gone = {i for i in range(n) if weird[i % len(weird)] == "l && r"}
     assert not (hits & gone)
     assert hits == set(range(n)) - gone
+
+
+def test_unique_package_names_exclusion_matrix(mixed_index):
+    """Reference db.py:250-304 (tests/test_registry_isolation.py:76-145):
+    registry= lists only names with docs in that registry;
+    exclude_registry= drops names whose docs ALL belong to it, keeps
+    names present in both registries, and treats legacy NULL-registry
+    docs as belonging to every other registry."""
+    root, cfg, tbl = mixed_index
+
+    all_names = mx.unique_package_names(root)
+    assert all_names == {f"org/r{i}" for i in range(7)}
+
+    # the synthetic corpus interleaves registries across repos, so every
+    # repo has pypi docs; verify against the table itself
+    import collections
+
+    by_repo = collections.defaultdict(set)
+    for repo, lang in zip(tbl["repo"].to_pylist(), tbl["lang"].to_pylist()):
+        by_repo[repo].add(lang)
+
+    pypi_names = mx.unique_package_names(root, registry="pypi")
+    assert pypi_names == {r for r, langs in by_repo.items() if "pypi" in langs}
+
+    # exclude npm: keep names that have ANY non-npm doc (pypi or legacy)
+    keep = mx.unique_package_names(root, exclude_registry="npm")
+    expected = {
+        r for r, langs in by_repo.items() if any(l != "npm" for l in langs)
+    }
+    assert keep == expected
+
+
+def test_unique_package_names_drops_single_registry_names(
+    tmp_path, ray_session
+):
+    """An npm-ONLY name disappears under exclude_registry=npm; a name in
+    both registries survives; a legacy NULL doc keeps its name."""
+    n = 30
+    langs = (["npm"] * 10) + (["npm"] * 5 + ["pypi"] * 5) + ([None] * 10)
+    repos = (
+        [f"npm-only/r{i % 2}" for i in range(10)]
+        + [f"both/r{i % 2}" for i in range(10)]
+        + [f"legacy/r{i % 2}" for i in range(10)]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "repo": pa.array(repos),
+            "path": pa.array([f"p{i}.py" for i in range(n)]),
+            "commit": pa.array([f"c{i:07d}" for i in range(n)]),
+            "lang": pa.array(langs, type=pa.string()),
+            "content": pa.array([f"alpha beta doc{i}" for i in range(n)]),
+        }
+    )
+    root = str(tmp_path / "root")
+    build_index("", root, EngineConfig(), corpus=ray.data.from_arrow(tbl),
+                num_parts=2)
+    keep = mx.unique_package_names(root, exclude_registry="npm")
+    assert keep == {"both/r0", "both/r1", "legacy/r0", "legacy/r1"}
+    npm_names = mx.unique_package_names(root, registry="npm")
+    assert npm_names == {"npm-only/r0", "npm-only/r1", "both/r0", "both/r1"}
+
+
+def test_delete_package_excluding_registry(mixed_index):
+    """Reference db.py:306-360: deleting one package with
+    exclude_registry keeps ONLY that registry's documents — legacy
+    NULL-registry docs of the package are deleted too, other packages
+    untouched."""
+    root, cfg, tbl = mixed_index
+    target = "org/r3"
+
+    before = {
+        (d, l)
+        for d, r, l in zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["repo"].to_pylist(),
+            tbl["lang"].to_pylist(),
+        )
+        if r == target
+    }
+    assert any(l == "npm" for _, l in before)
+    assert any(l != "npm" for _, l in before)
+
+    mx.delete_package_excluding_registry(root, target, keep_registry="npm")
+
+    live = mf.read_alias(root)
+    docs = ray.data.read_parquet(os.path.join(live, "docs")).to_pandas()
+    mine = docs[docs["repo"] == target]
+    # only npm docs of the target survive (NULL-registry deleted)
+    assert set(mine["lang"]) == {"npm"}
+    assert len(mine) == sum(1 for _, l in before if l == "npm")
+    # every other package keeps all its docs
+    others = docs[docs["repo"] != target]
+    expected_others = sum(1 for r in tbl["repo"].to_pylist() if r != target)
+    assert len(others) == expected_others
