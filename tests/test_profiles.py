@@ -122,3 +122,54 @@ def test_error_paths_reference_vectors(tmp_path):
     for bad in ("noname", "nocls", "strcls", "emptycls", "nonexistent"):
         with pytest.raises(ProfileError):
             pm.get(bad)
+
+
+class TestMultiProfileCoexistence:
+    """Reference test_integration_profiles.py:299-356 — independent
+    simultaneous profiles with disjoint classifier sets and unique
+    auto-derived targets."""
+
+    def test_different_profiles_have_different_classifiers(self):
+        pm = ProfileManager()
+        plone = set(pm.get("plone").classifiers)
+        django = set(pm.get("django").classifiers)
+        flask = set(pm.get("flask").classifiers)
+        assert plone.isdisjoint(django)
+        assert plone.isdisjoint(flask)
+        assert django.isdisjoint(flask)
+
+    def test_profiles_can_be_loaded_simultaneously(self):
+        pm = ProfileManager()
+        loaded = {k: pm.get(k) for k in pm.list_profiles()}
+        assert len(loaded) == 3
+        # each object keeps its own identity — no shared mutation
+        assert loaded["plone"].classifiers != loaded["django"].classifiers
+
+    def test_profile_based_targets_are_unique(self):
+        pm = ProfileManager()
+        targets = [pm.get(k).target for k in pm.list_profiles()]
+        assert len(targets) == len(set(targets))
+
+    def test_all_builtin_profiles_validate(self):
+        # test_integration_profiles.py:80-94: every profile loads with
+        # non-empty framework classifiers
+        pm = ProfileManager()
+        for key in pm.list_profiles():
+            prof = pm.get(key)
+            assert prof.classifiers, key
+            assert all(
+                c.startswith("Framework ::") for c in prof.classifiers
+            ), key
+
+    def test_classifier_filtering_respects_active_profile(self):
+        # test_integration_profiles.py:228-296: a package matches under
+        # its own framework's profile and not under another's
+        import pyf_aggregator_ray.functions.transforms as tf
+
+        pm = ProfileManager()
+        django_pkg = ["Framework :: Django", "Framework :: Django :: 4.2"]
+        flask_pkg = ["Framework :: Flask"]
+        assert tf.has_classifier_prefix(django_pkg, pm.get("django").classifiers)
+        assert not tf.has_classifier_prefix(django_pkg, pm.get("flask").classifiers)
+        assert tf.has_classifier_prefix(flask_pkg, pm.get("flask").classifiers)
+        assert not tf.has_classifier_prefix(flask_pkg, pm.get("plone").classifiers)
