@@ -85,8 +85,12 @@ def inspect_project(package_data: dict, lookup: PackageLookup) -> dict:
     data = tf.restructure_pypi_json(package_json)
     if data is None:
         return {"status": "skipped", "reason": "no_info", "package_id": package_id}
-    if timestamp is not None:
-        data.setdefault("upload_timestamp", timestamp)
+    # reference queue.py:222-226: the feed timestamp OVERRIDES whatever
+    # restructure produced, coerced to int64; absent/falsy -> 0
+    if timestamp:
+        data["upload_timestamp"] = int(timestamp)
+    else:
+        data["upload_timestamp"] = 0
     version = data.get("version", "")
     identifier = f"{package_id}-{version}" if version else package_id
     data["id"] = identifier

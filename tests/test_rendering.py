@@ -214,3 +214,33 @@ def test_shift_preserves_attributes_and_siblings():
     assert shift_headings("") == ""
     assert shift_headings(None) is None
     assert shift_headings("<p>no headings</p>") == "<p>no headings</p>"
+
+
+def test_shift_multiple_h1_all_become_h2():
+    # reference test_rst_to_html.py:90-97
+    html = "<h1>First</h1><p>a</p><h1>Second</h1><p>b</p><h1>Third</h1>"
+    out = rd.shift_headings(html)
+    assert out.count("<h2>") == 3 and "<h1>" not in out
+
+
+def test_shift_nested_structure_all_levels():
+    # reference test_rst_to_html.py:98-107: every level shifts by one
+    html = "<h1>T</h1><h2>S1</h2><h3>S1.1</h3><h2>S2</h2><h3>S2.1</h3><h4>D</h4>"
+    out = rd.shift_headings(html)
+    assert "<h2>T</h2>" in out
+    assert out.count("<h3>") == 2 and out.count("<h4>") == 2
+    assert "<h5>D</h5>" in out
+
+
+def test_shift_handles_none_and_only_h1():
+    # reference test_rst_to_html.py:73-82,171-179
+    assert rd.shift_headings(None) in (None, "")
+    assert rd.shift_headings("<h1>Lonely</h1>") == "<h2>Lonely</h2>"
+
+
+def test_shift_preserves_non_heading_elements():
+    # reference test_rst_to_html.py:144-151
+    html = '<h1>T</h1><p>para</p><ul><li>item</li></ul><pre>code</pre>'
+    out = rd.shift_headings(html)
+    for frag in ("<p>para</p>", "<ul><li>item</li></ul>", "<pre>code</pre>"):
+        assert frag in out

@@ -332,3 +332,33 @@ class TestRSSDeduplication:
         for var in ("RSS_DEDUP_TTL", "RSS_DEDUP_TTL_NEW", "RSS_DEDUP_TTL_UPDATE"):
             monkeypatch.delenv(var, raising=False)
         assert tk.rss_dedup_ttls() == (86400, 86400)
+
+
+class TestInspectTimestampSemantics:
+    """Reference queue.py:222-226 (test_queue.py:1846-1884): the feed
+    timestamp overrides the fetched doc's value as int64; absent -> 0."""
+
+    def test_float_timestamp_coerced_to_int(self, lookup):
+        res = tk.inspect_project(
+            {"package_id": "plone.api", "timestamp": 1686700000.5}, lookup
+        )
+        assert res["status"] == "indexed"
+        assert res["doc"]["upload_timestamp"] == 1686700000
+        assert isinstance(res["doc"]["upload_timestamp"], int)
+
+    def test_timestamp_overrides_table_value(self, lookup):
+        res = tk.inspect_project(
+            {"package_id": "plone.api", "timestamp": 42}, lookup
+        )
+        assert res["doc"]["upload_timestamp"] == 42
+
+    def test_missing_timestamp_is_zero(self, lookup):
+        res = tk.inspect_project({"package_id": "plone.api"}, lookup)
+        assert res["doc"]["upload_timestamp"] == 0
+
+    def test_zero_timestamp_is_zero(self, lookup):
+        # falsy timestamps take the 0 branch, exactly like the reference
+        res = tk.inspect_project(
+            {"package_id": "plone.api", "timestamp": 0.0}, lookup
+        )
+        assert res["doc"]["upload_timestamp"] == 0
