@@ -173,3 +173,23 @@ class TestMultiProfileCoexistence:
         assert not tf.has_classifier_prefix(django_pkg, pm.get("flask").classifiers)
         assert tf.has_classifier_prefix(flask_pkg, pm.get("flask").classifiers)
         assert not tf.has_classifier_prefix(flask_pkg, pm.get("plone").classifiers)
+
+
+def test_explicit_profile_overrides_env(monkeypatch):
+    # reference test_cli_default_profile.py:54-83: -p beats the env var
+    monkeypatch.setenv("PYFA_DEFAULT_PROFILE", "django")
+    prof, target = resolve_profile("flask", None)
+    assert prof.key == "flask" and target == "flask"
+
+
+def test_error_message_mentions_default_profile_env(monkeypatch):
+    # reference :84-114: the no-target error teaches the env var
+    monkeypatch.delenv("PYFA_DEFAULT_PROFILE", raising=False)
+    with pytest.raises(ProfileError, match="PYFA_DEFAULT_PROFILE"):
+        resolve_profile(None, None)
+
+
+def test_invalid_default_profile_env_raises(monkeypatch):
+    monkeypatch.setenv("PYFA_DEFAULT_PROFILE", "no-such-profile")
+    with pytest.raises(ProfileError, match="not found"):
+        resolve_profile(None, None)

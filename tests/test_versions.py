@@ -59,3 +59,30 @@ def test_batch_transform():
     out = version_slice_batch(batch)
     assert out["version_sortable"].to_pylist() == [e for _, e in GOLDEN]
     assert out["version_major"].to_pylist()[:5] == [1, 2, 2, 2, 12]
+
+
+@pytest.mark.parametrize("version", [v for v, _ in GOLDEN] + [
+    "2.0.0rc1", "2.0.0.dev3", "3.0.0c2", "0.1", "7", "1.2.3.4",
+])
+def test_six_segment_format_invariant(version):
+    """Reference test_version_sortable_integration.py:137-162: every
+    encoding is STABLE(1 digit, 0|1) + five 4-digit segments."""
+    sortable = version_sortable(version)
+    segments = sortable.split(".")
+    assert len(segments) == 6
+    assert segments[0] in ("0", "1")
+    for seg in segments[1:]:
+        assert len(seg) == 4 and seg.isdigit()
+
+
+def test_pretype_ordering_dev_alpha_beta_rc_stable():
+    """version_slicer.py pretype lattice: dev < alpha < beta < rc <
+    stable, and prenum orders within a type."""
+    chain = ["2.0.0.dev1", "2.0.0a1", "2.0.0a2", "2.0.0b1", "2.0.0rc1",
+             "2.0.0rc2", "2.0.0"]
+    encoded = [version_sortable(v) for v in chain]
+    assert encoded == sorted(encoded)
+    # stable sorts above a HIGHER pre-release of the next version
+    # (test_version_sortable_integration.py:356: 2.0.0 > 2.1.0rc9 is
+    # false — the major/minor dominates — but 2.0.0 > 2.0.0rc9 holds)
+    assert version_sortable("2.0.0") > version_sortable("2.0.0rc9")
