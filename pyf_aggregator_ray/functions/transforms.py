@@ -637,8 +637,11 @@ def _docs_with_problems(doc: dict) -> tuple[int, list, list]:
         bonuses.append({"reason": "has dedicated docs URL", "points": 4})
     # score the RENDERED html when the renderer has produced it; fall back
     # to the raw description so a doc scored outside the full chain (no
-    # renderer pass) keeps its docs points
+    # renderer pass) keeps its docs points; non-string values degrade to
+    # missing (totality on messy rows)
     desc = doc.get("description_html") or doc.get("description") or ""
+    if not isinstance(desc, str):
+        desc = ""
     if desc and len(desc) > 150:
         score += 18
     else:
@@ -688,12 +691,17 @@ def _metadata_with_problems(doc: dict) -> tuple[int, list, list]:
         score += 10
     else:
         problems.append("no license")
+    def _count(value) -> int:
+        # totality on messy rows: only sized containers count; a stray
+        # scalar in keywords/classifiers is "no entries", not a crash
+        return len(value) if isinstance(value, (list, tuple, set, dict)) else 0
+
     if (doc.get("registry") or "pypi") == "npm":
-        if len(doc.get("keywords") or []) >= 3:
+        if _count(doc.get("keywords")) >= 3:
             score += 10
         else:
             problems.append("fewer than 3 keywords")
-    elif len(doc.get("classifiers") or []) >= 3:
+    elif _count(doc.get("classifiers")) >= 3:
         score += 10
     else:
         problems.append("fewer than 3 classifiers")
@@ -746,18 +754,24 @@ def health_report(doc: dict, now_ts: int) -> dict:
 
 
 def _stars_bonus(stars: int) -> int:
-    """Reference ``health_calculator.py:225-248``."""
-    if stars >= 1000:
-        return 10
-    if stars >= 500:
-        return 7
-    if stars >= 100:
-        return 5
-    if stars >= 50:
-        return 3
-    if stars >= 10:
-        return 1
-    return 0
+    """Reference ``health_calculator.py:225-248``. The reference only
+    ever feeds this GitHub API ints; this engine scores arbitrary table
+    rows, so non-numeric values degrade to 0 (the same catch-style the
+    reference uses in its activity/issue helpers)."""
+    try:
+        if stars >= 1000:
+            return 10
+        if stars >= 500:
+            return 7
+        if stars >= 100:
+            return 5
+        if stars >= 50:
+            return 3
+        if stars >= 10:
+            return 1
+        return 0
+    except TypeError:
+        return 0
 
 
 def _activity_bonus(github_updated, now_ts: int) -> int:
@@ -852,7 +866,7 @@ def enhanced_health_report(doc: dict, now_ts: int) -> dict:
     issue_bonus = 0
     if "github_open_issues" in doc and "github_stars" in doc:
         stars_for_ratio = doc.get("github_stars", 0)
-        if stars_for_ratio and stars_for_ratio > 0:
+        if isinstance(stars_for_ratio, (int, float)) and stars_for_ratio > 0:
             issue_bonus = _issue_bonus(
                 doc.get("github_open_issues", 0), stars_for_ratio
             )

@@ -289,3 +289,123 @@ def test_shard_split_round_trip_property(rows, width):
         assert np.array_equal(
             np.concatenate([p[3] for p in parts]), d0[s0[j]:e0[j]]
         )
+
+
+# ---------------------------------------------------------------------------
+# round-5 surfaces
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(
+            [
+                "upload_timestamp", "docs_url", "description", "project_urls",
+                "maintainer", "author", "license", "classifiers", "keywords",
+                "registry", "github_stars", "github_updated",
+                "github_open_issues", "first_chapter", "main_content",
+            ]
+        ),
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(max_size=60),
+            st.lists(st.text(max_size=15), max_size=5),
+            st.dictionaries(st.text(max_size=10), st.text(max_size=30), max_size=3),
+            st.booleans(),
+        ),
+        max_size=8,
+    )
+)
+def test_enhanced_health_report_total_and_bounded(doc):
+    """enhanced_health_report is TOTAL on messy docs and its score is
+    always an int in [0, 100]; conditional keys appear only with their
+    bonus; breakdown category points stay within their lattices."""
+    from pyf_aggregator_ray.functions.transforms import enhanced_health_report
+
+    result = enhanced_health_report(doc, 1_755_000_000)
+    score = result["health_score"]
+    assert isinstance(score, int) and 0 <= score <= 100
+    bd = result["health_score_breakdown"]
+    assert 0 <= bd["recency"]["points"] <= 40
+    assert 0 <= bd["documentation"]["points"] <= 30
+    assert 0 <= bd["metadata"]["points"] <= 30
+    for key in ("github_stars_bonus", "github_activity_bonus",
+                "github_issue_bonus", "github_bonus_total"):
+        if key in bd:
+            assert bd[key] > 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(min_size=1, max_size=40),
+    st.one_of(st.none(), st.text(min_size=1, max_size=15)),
+    st.sampled_from(["new", "update", "release"]),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_dedup_store_never_double_queues_within_ttl(pkg, rel, feed, ttl):
+    """Within one TTL window the same (pkg, rel, feed) marks fresh
+    exactly once; different release ids never collide on update feeds."""
+    from pyf_aggregator_ray.pipelines.tasks import (
+        SeenStore,
+        dedup_key,
+        is_package_recently_queued,
+    )
+
+    store = SeenStore()
+    first = is_package_recently_queued(pkg, rel, feed, ttl=ttl, store=store)
+    second = is_package_recently_queued(pkg, rel, feed, ttl=ttl, store=store)
+    assert first is False and second is True
+    if feed != "new" and rel:
+        other = rel + "x"
+        assert dedup_key(pkg, other, feed) != dedup_key(pkg, rel, feed)
+        assert (
+            is_package_recently_queued(pkg, other, feed, ttl=ttl, store=store)
+            is False
+        )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # upload_timestamp
+            st.one_of(
+                st.none(),
+                st.sampled_from(
+                    [
+                        "https://github.com/a/r",
+                        "https://github.com/b/r2",
+                        "https://github.com/orgs/bad",  # reserved -> malformed
+                        "https://example.com/nope",  # not github-shaped
+                        "git@github.com:c/r3.git",
+                    ]
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sets(st.sampled_from(["a/r", "b/r2", "c/r3"]), max_size=3),
+)
+def test_resolve_fallback_invariants(versions, known):
+    """resolve_repo_with_fallback is total; a resolved identifier is
+    always valid AND known; not_found implies the newest version had a
+    valid identifier none of whose known alternatives existed."""
+    from pyf_aggregator_ray.functions.transforms import extract_repo_identifier
+    from pyf_aggregator_ray.pipelines.problems import resolve_repo_with_fallback
+
+    docs = [
+        {"name": "p", "upload_timestamp": ts, "home_page": url}
+        for ts, url in versions
+    ]
+    res = resolve_repo_with_fallback(docs, known.__contains__)
+    if res["resolved"]:
+        ident = res["repo_identifier"]
+        assert ident in known
+        assert extract_repo_identifier(f"https://github.com/{ident}") == ident
+    else:
+        assert res["reason"] in ("no_repo_url", "malformed_identifier", "not_found")
+        if res["reason"] == "not_found":
+            assert res["repo_identifier"] is not None
