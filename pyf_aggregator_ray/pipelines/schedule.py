@@ -18,8 +18,8 @@ analog of the reference task.
 | read RSS new releases and add to queue  | tasks.queue_from_feed(feed_type=release) |
 | weekly refresh all indexed packages     | maintenance.refresh_merge            |
 | monthly full fetch all packages         | build_index.build_index (full)       |
-| weekly download stats enrichment        | relational downloads enrichment (J2) |
-| weekly GitHub data refresh              | enrich/doc-weights pipelines (J1/J6) |
+| weekly download stats enrichment        | tasks.enrich_all_profiles(downloads stage) (J2) |
+| weekly GitHub data refresh              | tasks.enrich_all_profiles(enrich/doc-weights) (J1/J6) |
 """
 
 from __future__ import annotations

@@ -294,3 +294,26 @@ class InspectStage:
             {k: pa.array(v, pa.string()) for k, v in out.items()},
             schema=STATUS_SCHEMA,
         )
+
+
+def enrich_all_profiles(run_one, profiles=None) -> dict:
+    """The reference's all-profiles enrichment orchestration
+    (``queue.py:1090-1111`` ``enrich_downloads_all_packages``): run the
+    per-profile enricher for EVERY profile, isolating failures per
+    profile — one failing profile is recorded as ``failed: <err>`` and
+    the walk continues; the task itself always completes. ``run_one``
+    is the per-profile runner (the downloads-enrichment stage, a GitHub
+    refresh, ...) — injected so the same orchestration covers every
+    weekly-enrichment beat job."""
+    if profiles is None:
+        from ..state.profiles import ProfileManager
+
+        profiles = ProfileManager().list_profiles()
+    results: dict[str, str] = {}
+    for profile_name in profiles:
+        try:
+            run_one(profile_name)
+            results[profile_name] = "completed"
+        except Exception as e:  # noqa: BLE001 — per-profile isolation
+            results[profile_name] = f"failed: {e}"
+    return {"status": "completed", "profiles": results}

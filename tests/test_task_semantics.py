@@ -362,3 +362,39 @@ class TestInspectTimestampSemantics:
             {"package_id": "plone.api", "timestamp": 0.0}, lookup
         )
         assert res["doc"]["upload_timestamp"] == 0
+
+
+class TestEnrichAllProfiles:
+    """Reference test_queue.py:1957-2013 — all-profiles enrichment with
+    per-profile failure isolation."""
+
+    def test_enriches_all_profiles(self):
+        ran = []
+        out = tk.enrich_all_profiles(ran.append, profiles=["plone", "django"])
+        assert out["status"] == "completed"
+        assert out["profiles"] == {"plone": "completed", "django": "completed"}
+        assert ran == ["plone", "django"]
+
+    def test_handles_enricher_error(self):
+        def run_one(name):
+            raise RuntimeError("API error")
+
+        out = tk.enrich_all_profiles(run_one, profiles=["plone"])
+        assert out["status"] == "completed"
+        assert out["profiles"]["plone"].startswith("failed:")
+        assert "API error" in out["profiles"]["plone"]
+
+    def test_failure_does_not_stop_the_walk(self):
+        def run_one(name):
+            if name == "plone":
+                raise RuntimeError("boom")
+
+        out = tk.enrich_all_profiles(run_one, profiles=["plone", "django"])
+        assert out["profiles"]["plone"].startswith("failed:")
+        assert out["profiles"]["django"] == "completed"
+
+    def test_defaults_to_builtin_profile_list(self):
+        ran = []
+        out = tk.enrich_all_profiles(ran.append)
+        assert sorted(ran) == ["django", "flask", "plone"]
+        assert out["status"] == "completed"
