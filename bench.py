@@ -274,6 +274,11 @@ def run_headline_min_of_n() -> dict:
     result["docs_per_sec"] = round(result["docs"] / result["value"], 1)
     result["samples_index_build"] = [r["value"] for r in runs]
     result["samples_curation"] = [r["queries"]["curation"] for r in runs]
+    # machine-wide cpu-seconds per sample: on this host, external
+    # (hypervisor-level) contention shows up as the SAME work burning
+    # 2-4x the cpu-seconds — publishing the per-sample denominator lets
+    # a reader separate a noisy window from a real regression
+    result["samples_cpu_sec"] = [r["cpu_sec"] for r in runs]
     result["rounds"] = rounds
     return result
 
