@@ -140,6 +140,18 @@ def main(argv: list[str] | None = None) -> int:
         "(reference typesense_util --force)",
     )
 
+    dl = sub.add_parser(
+        "delete-version",
+        help="delete one retired index version directory (reference "
+        "typesense_util --delete-collection: y/N confirmation, default "
+        "No; refuses the live alias target)",
+    )
+    dl.add_argument("--index-root", required=True)
+    dl.add_argument("--version-dir", required=True)
+    dl.add_argument(
+        "--force", action="store_true", help="skip the confirmation prompt"
+    )
+
     pr = sub.add_parser("profiles", help="list/validate YAML profiles")
     pr.add_argument("--profiles-path")
     pr.add_argument("--profile", help="show one profile (validated)")
@@ -180,6 +192,25 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = mf.gc_old_versions(args.index_root, keep=args.keep)
         print(json.dumps({"removed_versions": removed}))
+        return 0
+
+    if args.cmd == "delete-version":  # no Ray needed
+        # reference typesense_util.py:485-505: destructive delete
+        # confirms with default NO (only a literal y/Y proceeds);
+        # --force skips. The live-alias guard lives in
+        # delete_index_version itself.
+        from .pipelines.maintenance import delete_index_version
+
+        if not args.force:
+            confirm = input(
+                f"Are you sure you want to delete index version "
+                f"'{args.version_dir}'? (y/N): "
+            )
+            if confirm.strip().lower() != "y":
+                print(json.dumps({"deleted": False, "cancelled": True}))
+                return 0
+        removed = delete_index_version(args.index_root, args.version_dir)
+        print(json.dumps({"deleted": bool(removed), "cancelled": False}))
         return 0
 
     if args.cmd == "show":  # no Ray needed

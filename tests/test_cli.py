@@ -122,3 +122,85 @@ def test_delete_index_version_guards_live(tmp_path):
     assert delete_index_version(root, old) is True
     assert not os.path.isdir(old)
     assert delete_index_version(root, old) is False
+
+
+class TestDeleteVersionCLI:
+    """Reference typesense_util.py:485-505 — destructive delete confirms
+    with default NO (recreate's deferred delete defaults YES; this
+    direct delete defaults NO, like the reference)."""
+
+    def _setup_root(self, tmp_path):
+        from pyf_aggregator_ray.state import manifest as mf
+
+        root = str(tmp_path)
+        old = mf.version_dir(root, 1)
+        os.makedirs(old)
+        os.makedirs(mf.version_dir(root, 2))
+        mf.switch_alias(root, 2)
+        return root, old
+
+    def _main(self, argv, answer=None, monkeypatch=None):
+        import json as _json
+        import io
+        from contextlib import redirect_stdout
+
+        from pyf_aggregator_ray import cli
+
+        if answer is not None:
+            monkeypatch.setattr("builtins.input", lambda prompt: answer)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli.main(argv)
+        return rc, _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    def test_default_no_cancels(self, tmp_path, monkeypatch):
+        root, old = self._setup_root(tmp_path)
+        rc, out = self._main(
+            ["delete-version", "--index-root", root, "--version-dir", old],
+            answer="", monkeypatch=monkeypatch,
+        )
+        assert rc == 0 and out == {"deleted": False, "cancelled": True}
+        assert os.path.isdir(old)
+
+    def test_n_cancels(self, tmp_path, monkeypatch):
+        root, old = self._setup_root(tmp_path)
+        _, out = self._main(
+            ["delete-version", "--index-root", root, "--version-dir", old],
+            answer="n", monkeypatch=monkeypatch,
+        )
+        assert out["cancelled"] is True and os.path.isdir(old)
+
+    def test_y_deletes(self, tmp_path, monkeypatch):
+        root, old = self._setup_root(tmp_path)
+        _, out = self._main(
+            ["delete-version", "--index-root", root, "--version-dir", old],
+            answer="y", monkeypatch=monkeypatch,
+        )
+        assert out == {"deleted": True, "cancelled": False}
+        assert not os.path.isdir(old)
+
+    def test_force_skips_prompt(self, tmp_path, monkeypatch):
+        root, old = self._setup_root(tmp_path)
+
+        def no_input(prompt):
+            raise AssertionError("prompt must not be shown with --force")
+
+        monkeypatch.setattr("builtins.input", no_input)
+        _, out = self._main(
+            ["delete-version", "--index-root", root,
+             "--version-dir", old, "--force"],
+        )
+        assert out["deleted"] is True and not os.path.isdir(old)
+
+    def test_live_target_refused(self, tmp_path, monkeypatch):
+        from pyf_aggregator_ray.state import manifest as mf
+
+        root, _old = self._setup_root(tmp_path)
+        live = mf.read_alias(root)
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._main(
+                ["delete-version", "--index-root", root,
+                 "--version-dir", live, "--force"],
+            )
