@@ -317,3 +317,83 @@ def enrich_all_profiles(run_one, profiles=None) -> dict:
         except Exception as e:  # noqa: BLE001 — per-profile isolation
             results[profile_name] = f"failed: {e}"
     return {"status": "completed", "profiles": results}
+
+
+def refresh_all_indexed_packages(
+    index_root: str,
+    lookup: PackageLookup,
+    filter_classifiers: list[str] | None = None,
+    name_col: str = "repo",
+    registry_col: str = "lang",
+    keep_registry: str = "npm",
+    apply_deletes: bool = False,
+) -> dict:
+    """The weekly-refresh orchestration (reference ``queue.py:783-970``
+    ``refresh_all_indexed_packages``), with its npm-isolation contract:
+
+    * the name walk EXCLUDES names whose documents all belong to
+      ``keep_registry`` (they are not on PyPI — refreshing them would
+      only ever mark them for deletion, ``queue.py:830-835``);
+    * a package the registry no longer serves, or one that lost the
+      required classifier, is marked for deletion — and the delete
+      keeps ``keep_registry``'s documents (``queue.py:896-899``);
+    * no-info packages are skipped, per-package errors are counted as
+      failed and never abort the walk;
+    * re-fetched docs get {name}-{version} identifiers; the preserved
+      GitHub fields ride the refresh-merge pipeline (maintenance
+      ``refresh_merge``), not this classifier.
+
+    The name set is driver-held — bounded by distinct package names,
+    exactly like the reference's materialized name list."""
+    from .maintenance import (
+        delete_package_excluding_registry,
+        unique_package_names,
+    )
+
+    names = unique_package_names(
+        index_root,
+        exclude_registry=keep_registry,
+        name_col=name_col,
+        registry_col=registry_col,
+    )
+    stats = {"total": len(names), "updated": 0, "deleted": 0,
+             "failed": 0, "skipped": 0}
+    to_delete: list[str] = []
+    docs: list[dict] = []
+    for name in sorted(names):
+        try:
+            package_json = lookup.get_json(name)
+            if package_json is None:
+                to_delete.append(name)
+                stats["deleted"] += 1
+                continue
+            info = package_json.get("info") or {}
+            if filter_classifiers and not tf.has_classifier_prefix(
+                info.get("classifiers"), filter_classifiers
+            ):
+                to_delete.append(name)
+                stats["deleted"] += 1
+                continue
+            data = tf.restructure_pypi_json(package_json)
+            if data is None:
+                stats["skipped"] += 1
+                continue
+            version = data.get("version", "")
+            identifier = f"{name}-{version}" if version else name
+            data["id"] = identifier
+            data["identifier"] = identifier
+            data["name_sortable"] = data.get("name", name)
+            docs.append(data)
+            stats["updated"] += 1
+        except Exception:
+            stats["failed"] += 1
+    if apply_deletes:
+        for name in to_delete:
+            delete_package_excluding_registry(
+                index_root,
+                name,
+                keep_registry,
+                name_col=name_col,
+                registry_col=registry_col,
+            )
+    return {"stats": stats, "to_delete": to_delete, "docs": docs}

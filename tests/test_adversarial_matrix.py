@@ -374,3 +374,64 @@ def test_delete_package_excluding_registry(mixed_index):
     others = docs[docs["repo"] != target]
     expected_others = sum(1 for r in tbl["repo"].to_pylist() if r != target)
     assert len(others) == expected_others
+
+
+def test_weekly_refresh_leaves_npm_alone(mixed_index):
+    """Reference test_registry_isolation.py:263-293: the weekly refresh
+    lists only names with non-npm documents, deletes gone/declassified
+    packages WITHOUT touching npm documents, and counts outcomes."""
+    from pyf_aggregator_ray.pipelines import tasks as tk
+
+    root, cfg, tbl = mixed_index
+
+    # the registry "serves" every repo except org/r3 (gone) and org/r4
+    # (lost the classifier)
+    rows = []
+    for r in sorted({x for x in tbl["repo"].to_pylist()}):
+        if r == "org/r3":
+            continue
+        rows.append(
+            {
+                "name": r,
+                "version": "1.0.0",
+                "upload_timestamp": 100,
+                "classifiers": (
+                    [] if r == "org/r4" else ["Framework :: Plone"]
+                ),
+            }
+        )
+    import pyarrow as _pa
+
+    lookup = tk.PackageLookup(_pa.table({
+        "name": [x["name"] for x in rows],
+        "version": [x["version"] for x in rows],
+        "upload_timestamp": [x["upload_timestamp"] for x in rows],
+        "classifiers": [x["classifiers"] for x in rows],
+    }))
+
+    out = tk.refresh_all_indexed_packages(
+        root, lookup, filter_classifiers=["Framework :: Plone"],
+        apply_deletes=True,
+    )
+    assert out["stats"]["total"] == 7  # every repo has non-npm docs
+    assert sorted(out["to_delete"]) == ["org/r3", "org/r4"]
+    assert out["stats"]["deleted"] == 2
+    assert out["stats"]["updated"] == 5
+    assert out["stats"]["failed"] == 0
+    # identifiers are {name}-{version}
+    assert sorted(d["identifier"] for d in out["docs"]) == [
+        f"org/r{i}-1.0.0" for i in (0, 1, 2, 5, 6)
+    ]
+
+    # npm documents of the deleted packages SURVIVE; everything else gone
+    live = mf.read_alias(root)
+    docs = ray.data.read_parquet(os.path.join(live, "docs")).to_pandas()
+    for gone in ("org/r3", "org/r4"):
+        langs = set(docs[docs["repo"] == gone]["lang"])
+        assert langs == {"npm"}, (gone, langs)
+    # untouched packages keep all their docs
+    kept = docs[~docs["repo"].isin(["org/r3", "org/r4"])]
+    expected = sum(
+        1 for r in tbl["repo"].to_pylist() if r not in ("org/r3", "org/r4")
+    )
+    assert len(kept) == expected
