@@ -47,7 +47,14 @@ def _confirm_delete_old(
         return False
     if force:
         return True
-    confirm = ask(f"Delete old index version {old_version}? (Y/n): ")
+    try:
+        confirm = ask(f"Delete old index version {old_version}? (Y/n): ")
+    except EOFError:
+        # non-interactive caller (script/cron, no stdin): take the
+        # documented default Yes — the pre-round-5 behavior of plain
+        # `recreate` (delete without prompting) is preserved for
+        # automation; an interactive "n" is the only way to keep
+        return True
     return confirm.strip().lower() != "n"
 
 

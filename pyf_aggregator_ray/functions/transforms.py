@@ -692,9 +692,14 @@ def _metadata_with_problems(doc: dict) -> tuple[int, list, list]:
     else:
         problems.append("no license")
     def _count(value) -> int:
-        # totality on messy rows: only sized containers count; a stray
-        # scalar in keywords/classifiers is "no entries", not a crash
-        return len(value) if isinstance(value, (list, tuple, set, dict)) else 0
+        # reference-exact len() semantics (health_score.py:265-311 calls
+        # bare len(), so a pre-clean comma STRING counts its characters);
+        # only len-less scalars (ints, None) degrade to 0 instead of
+        # crashing — totality on messy rows
+        try:
+            return len(value)
+        except TypeError:
+            return 0
 
     if (doc.get("registry") or "pypi") == "npm":
         if _count(doc.get("keywords")) >= 3:
@@ -925,8 +930,16 @@ def health_score(doc: dict, now_ts: int) -> dict:
         github_bonus += _stars_bonus(stars)
     if doc.get("github_updated"):
         github_bonus += _activity_bonus(doc["github_updated"], now_ts)
-    if "github_open_issues" in doc and "github_stars" in doc and stars > 0:
-        github_bonus += _issue_bonus(doc.get("github_open_issues") or 0, stars)
+    # same issue-bonus gate and None handling as enhanced_health_report
+    # and the reference (health_calculator.py:168-180: a present-but-None
+    # open_issues hits the try/except -> 0, it is NOT coerced to 0/ratio)
+    if (
+        "github_open_issues" in doc
+        and "github_stars" in doc
+        and isinstance(stars, (int, float))
+        and stars > 0
+    ):
+        github_bonus += _issue_bonus(doc.get("github_open_issues", 0), stars)
 
     total = min(100, recency + docs_score + meta + github_bonus)
     return {

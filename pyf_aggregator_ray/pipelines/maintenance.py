@@ -273,6 +273,12 @@ def unique_package_names(
     )
 
     def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # rows with a NULL name are not a package anyone can refresh or
+        # delete by name — and a null groupby key breaks the downstream
+        # range-partition sort, so they drop HERE, before the shuffle
+        t = t.filter(pc.is_valid(t[name_col]))
         if t.num_rows == 0:
             return pa.schema(
                 [("name", pa.string()), ("in_reg", pa.int8()), ("outside", pa.int8())]
@@ -319,7 +325,11 @@ def unique_package_names(
             keep &= t["in_reg"].to_numpy(zero_copy_only=False) == 1
         if exclude_registry:
             keep &= t["outside"].to_numpy(zero_copy_only=False) == 1
-        names.update(np.asarray(t["name"].to_pylist(), dtype=object)[keep])
+        kept = np.asarray(t["name"].to_pylist(), dtype=object)[keep]
+        # a messy row with a NULL name groups under None — not a package
+        # name anyone can refresh/delete by; drop it instead of letting
+        # sorted(names) downstream die on a None < str comparison
+        names.update(n for n in kept if n is not None)
     return names
 
 
@@ -356,6 +366,48 @@ def delete_package_excluding_registry(
             pc.not_equal(t[registry_col], keep_registry), True
         )
         return t.filter(pc.and_(is_pkg, not_kept)).select(["doc_id"])
+
+    ids = docs.map_batches(matching, batch_format="pyarrow")
+    return delete_docs(index_root, idsets.id_array_ref(ids), cfg)
+
+
+def delete_packages_excluding_registry(
+    index_root: str,
+    package_names: "list[str] | set[str]",
+    keep_registry: str,
+    cfg: EngineConfig | None = None,
+    name_col: str = "repo",
+    registry_col: str = "lang",
+) -> dict | None:
+    """Batched form of ``delete_package_excluding_registry``: ONE
+    tombstone-fold rewrite for the whole name list (the weekly refresh
+    can mark hundreds of packages — one full docs+postings rewrite per
+    package would be O(N x index size); a single ``is_in`` predicate
+    pass does the same job in one rewrite). Returns None when the name
+    list is empty (no version churn for a no-op)."""
+    import pyarrow.compute as pc
+
+    names = sorted(set(package_names))
+    if not names:
+        return None
+    live = mf.read_alias(index_root)
+    if not live:
+        raise RuntimeError(f"no live index under {index_root}")
+    docs = ray.data.read_parquet(
+        os.path.join(live, "docs"), columns=["doc_id", name_col, registry_col]
+    )
+    name_set = pa.array(names, type=pa.string())
+
+    def matching(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        is_pkg = pc.is_in(t[name_col], value_set=name_set)
+        not_kept = pc.fill_null(
+            pc.not_equal(t[registry_col], keep_registry), True
+        )
+        return t.filter(pc.and_(pc.fill_null(is_pkg, False), not_kept)).select(
+            ["doc_id"]
+        )
 
     ids = docs.map_batches(matching, batch_format="pyarrow")
     return delete_docs(index_root, idsets.id_array_ref(ids), cfg)
@@ -513,8 +565,14 @@ def delete_index_version(index_root: str, version_dir: str) -> bool:
     import shutil as _sh
 
     live = mf.read_alias(index_root)
-    target = os.path.abspath(version_dir)
-    if live and os.path.abspath(live) == target:
+    # a bare version name resolves against the index root (so
+    # `--version-dir v0001` targets index_root/v0001, never cwd/v0001);
+    # realpath on BOTH sides so a symlinked spelling of the live
+    # version cannot slip past the guard
+    if not os.path.isabs(version_dir) and os.sep not in version_dir:
+        version_dir = os.path.join(index_root, version_dir)
+    target = os.path.realpath(version_dir)
+    if live and os.path.realpath(live) == target:
         raise ValueError(f"refusing to delete live version {version_dir}")
     if not os.path.isdir(target):
         return False

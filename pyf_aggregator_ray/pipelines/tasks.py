@@ -346,7 +346,7 @@ def refresh_all_indexed_packages(
     The name set is driver-held — bounded by distinct package names,
     exactly like the reference's materialized name list."""
     from .maintenance import (
-        delete_package_excluding_registry,
+        delete_packages_excluding_registry,
         unique_package_names,
     )
 
@@ -383,17 +383,21 @@ def refresh_all_indexed_packages(
             data["id"] = identifier
             data["identifier"] = identifier
             data["name_sortable"] = data.get("name", name)
-            docs.append(data)
+            # same doc finalization as inspect/update: clean before it
+            # rides the refresh-merge pipeline (None strings/lists and
+            # comma-string keywords normalized, registry defaulted)
+            docs.append(tf.clean_data(data))
             stats["updated"] += 1
         except Exception:
             stats["failed"] += 1
-    if apply_deletes:
-        for name in to_delete:
-            delete_package_excluding_registry(
-                index_root,
-                name,
-                keep_registry,
-                name_col=name_col,
-                registry_col=registry_col,
-            )
+    if apply_deletes and to_delete:
+        # ONE batched tombstone-fold for the whole delete list — not a
+        # full index rewrite per package
+        delete_packages_excluding_registry(
+            index_root,
+            to_delete,
+            keep_registry,
+            name_col=name_col,
+            registry_col=registry_col,
+        )
     return {"stats": stats, "to_delete": to_delete, "docs": docs}

@@ -435,3 +435,54 @@ def test_weekly_refresh_leaves_npm_alone(mixed_index):
         1 for r in tbl["repo"].to_pylist() if r not in ("org/r3", "org/r4")
     )
     assert len(kept) == expected
+
+
+def test_refresh_deletes_are_one_batched_rewrite(mixed_index):
+    """Review fix: a refresh marking MULTIPLE packages for deletion
+    performs exactly ONE tombstone-fold rewrite (one new version), not
+    one per package — and a null-name row neither lists nor crashes
+    the walk."""
+    from pyf_aggregator_ray.pipelines import tasks as tk
+
+    root, cfg, tbl = mixed_index
+    versions_before = len(mf.list_versions(root))
+
+    # registry serves only r0/r1/r2 with the classifier -> r3..r6 delete
+    import pyarrow as _pa
+
+    keep = [f"org/r{i}" for i in range(3)]
+    lookup = tk.PackageLookup(_pa.table({
+        "name": keep,
+        "version": ["1.0.0"] * 3,
+        "upload_timestamp": [100] * 3,
+        "classifiers": [["Framework :: Plone"]] * 3,
+    }))
+    out = tk.refresh_all_indexed_packages(
+        root, lookup, filter_classifiers=["Framework :: Plone"],
+        apply_deletes=True,
+    )
+    assert sorted(out["to_delete"]) == [f"org/r{i}" for i in range(3, 7)]
+    versions_after = len(mf.list_versions(root))
+    assert versions_after == versions_before + 1  # ONE rewrite for all 4
+    # refreshed docs passed clean_data (registry defaulted)
+    for d in out["docs"]:
+        assert d["registry"] == "pypi"
+
+
+def test_unique_package_names_ignores_null_names(tmp_path, ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "repo": pa.array(["a/x", None, "b/y", None, "a/x", "b/y"]),
+            "path": pa.array([f"p{i}.py" for i in range(6)]),
+            "commit": pa.array([f"c{i:07d}" for i in range(6)]),
+            "lang": pa.array(["pypi", "pypi", "npm", None, "pypi", "pypi"]),
+            "content": pa.array([f"alpha doc{i}" for i in range(6)]),
+        }
+    )
+    root = str(tmp_path / "root")
+    build_index("", root, EngineConfig(), corpus=ray.data.from_arrow(tbl),
+                num_parts=2)
+    names = mx.unique_package_names(root, exclude_registry="npm")
+    assert names == {"a/x", "b/y"}
+    assert None not in mx.unique_package_names(root)

@@ -204,3 +204,30 @@ class TestDeleteVersionCLI:
                 ["delete-version", "--index-root", root,
                  "--version-dir", live, "--force"],
             )
+
+
+def test_confirm_delete_old_defaults_yes_on_eof():
+    """Non-interactive recreate (script/cron, no stdin) takes the
+    documented default Yes instead of crashing on EOFError — the
+    pre-prompt behavior of plain `recreate` is preserved for
+    automation."""
+    from pyf_aggregator_ray.cli import _confirm_delete_old
+
+    def eof_ask(prompt):
+        raise EOFError
+
+    assert _confirm_delete_old(False, False, "v1", ask=eof_ask) is True
+
+
+def test_delete_version_accepts_bare_version_name(tmp_path):
+    from pyf_aggregator_ray.pipelines.maintenance import delete_index_version
+    from pyf_aggregator_ray.state import manifest as mf
+
+    root = str(tmp_path)
+    old = mf.version_dir(root, 1)
+    os.makedirs(old)
+    os.makedirs(mf.version_dir(root, 2))
+    mf.switch_alias(root, 2)
+    bare = os.path.basename(old)
+    assert delete_index_version(root, bare) is True
+    assert not os.path.isdir(old)

@@ -902,3 +902,40 @@ class TestNpmMetadataScoring:
         bd = result["health_score_breakdown"]
         assert bd["metadata"]["points"] == 30
         assert "fewer than 3 keywords" not in bd["metadata"]["problems"]
+
+
+class TestFastPathTotalityAndParity:
+    """Round-5 review fixes: the numeric fast path is total on messy
+    types and agrees with enhanced_health_report on the issue-bonus
+    gate (present-but-None open_issues -> 0, like the reference's
+    try/except — not coerced to a perfect ratio)."""
+
+    def test_fast_path_total_on_string_stars(self):
+        doc = {"github_stars": "100", "github_open_issues": 5}
+        out = tf.health_score(doc, NOW_TS)  # must not raise
+        assert out["health_github_bonus"] == 0
+
+    def test_none_open_issues_scores_zero_on_both_paths(self):
+        doc = {"github_stars": 10, "github_open_issues": None}
+        fast = tf.health_score(doc, NOW_TS)
+        enhanced = tf.enhanced_health_report(doc, NOW_TS)
+        # stars bonus +1 only; the None ratio earns nothing on either path
+        assert fast["health_github_bonus"] == 1
+        assert "github_issue_bonus" not in enhanced["health_score_breakdown"]
+        assert fast["health_score"] == enhanced["health_score"]
+
+    def test_comma_string_keywords_keep_reference_len_semantics(self):
+        # health_score.py:265-311 calls bare len(): a pre-clean comma
+        # STRING counts characters (>=3 chars -> the +10)
+        score, problems, _ = tf._metadata_with_problems(
+            {"registry": "npm", "keywords": "react,hooks,forms"}
+        )
+        assert score == 10 and "fewer than 3 keywords" not in problems
+        score, problems, _ = tf._metadata_with_problems(
+            {"registry": "npm", "keywords": "ab"}
+        )
+        assert score == 0 and "fewer than 3 keywords" in problems
+
+    def test_integer_classifiers_degrade_not_crash(self):
+        score, problems, _ = tf._metadata_with_problems({"classifiers": 7})
+        assert score == 0 and "fewer than 3 classifiers" in problems
