@@ -401,3 +401,46 @@ def refresh_all_indexed_packages(
             registry_col=registry_col,
         )
     return {"stats": stats, "to_delete": to_delete, "docs": docs}
+
+
+def package_updates_since(
+    feeds: list[list[dict]],
+    since: int,
+    filter_name: str | None = None,
+) -> dict:
+    """The reference's ``_package_updates`` (``fetcher.py:393-460``):
+    merge raw entries from multiple RSS feeds (updates.xml +
+    packages.xml), sort newest-first, and walk with the reference's
+    exact skip order — already-seen package -> drop; timestamp older
+    than ``since`` -> drop AND count (``dropped_by_since``); name
+    filter; else yield (package_id, release_id, timestamp). A None
+    timestamp is INCLUDED to be safe (the feeds hold only ~40 entries).
+    ``dropped_by_since == 0`` is the overflow signal: the whole RSS
+    window was newer than the last run, so updates between the oldest
+    entry and ``since`` were likely missed (reconcile with a full
+    fetch) — the inverse-logic cousin of incremental.py's
+    dropped-NOTHING watermark warning."""
+    parsed: list[dict] = []
+    for entries in feeds:
+        for entry in entries:
+            p = parse_feed_entry(entry)
+            if p is not None:
+                parsed.append(p)
+    parsed.sort(key=lambda p: p.get("timestamp") or 0, reverse=True)
+
+    seen: set[str] = set()
+    updates: list[tuple] = []
+    dropped_by_since = 0
+    for p in parsed:
+        package_id = p.get("package_id")
+        if not package_id or package_id in seen:
+            continue
+        timestamp = p.get("timestamp")
+        if timestamp is not None and timestamp < since:
+            dropped_by_since += 1
+            continue
+        if filter_name and filter_name not in package_id:
+            continue
+        seen.add(package_id)
+        updates.append((package_id, p.get("release_id"), timestamp))
+    return {"updates": updates, "dropped_by_since": dropped_by_since}

@@ -398,3 +398,73 @@ class TestEnrichAllProfiles:
         out = tk.enrich_all_profiles(ran.append)
         assert sorted(ran) == ["django", "flask", "plone"]
         assert out["status"] == "completed"
+
+
+class TestPackageUpdatesSince:
+    """Reference fetcher.py:393-460 (test_fetcher.py:554-613) — the
+    incremental feed merge: newest-first dedup, since cutoff with
+    dropped counter (the overflow signal), None-timestamp inclusion,
+    name filter after the cutoff."""
+
+    def _entry(self, pkg, ver, ts):
+        e = {
+            "title": f"{pkg} {ver}" if ver else f"{pkg} added to PyPI",
+            "link": (
+                f"https://pypi.org/project/{pkg}/{ver}/"
+                if ver
+                else f"https://pypi.org/project/{pkg}/"
+            ),
+        }
+        if ts is not None:
+            e["published_parsed"] = ts  # numeric epoch passes through
+        return e
+
+    def test_yields_unique_packages(self):
+        feeds = [
+            [self._entry("plone.api", "2.0.0", 200)],
+            [self._entry("requests", "2.31.0", 100)],
+        ]
+        out = tk.package_updates_since(feeds, since=0)
+        ids = [u[0] for u in out["updates"]]
+        assert ids == ["plone.api", "requests"]  # newest first
+        assert len(set(ids)) == len(ids)
+
+    def test_deduplicates_across_feeds_newest_wins(self):
+        feeds = [
+            [self._entry("plone.api", "2.0.0", 200)],
+            [self._entry("plone.api", "1.9.0", 150)],
+        ]
+        out = tk.package_updates_since(feeds, since=0)
+        assert out["updates"] == [("plone.api", "2.0.0", 200)]
+
+    def test_since_cutoff_drops_and_counts(self):
+        feeds = [[
+            self._entry("new.pkg", "1.0", 500),
+            self._entry("old.pkg", "1.0", 100),
+        ]]
+        out = tk.package_updates_since(feeds, since=300)
+        assert [u[0] for u in out["updates"]] == ["new.pkg"]
+        assert out["dropped_by_since"] == 1
+
+    def test_none_timestamp_included_to_be_safe(self):
+        feeds = [[self._entry("no.ts", "1.0", None)]]
+        out = tk.package_updates_since(feeds, since=10**9)
+        assert out["updates"] == [("no.ts", "1.0", None)]
+        assert out["dropped_by_since"] == 0
+
+    def test_name_filter_applied_after_cutoff(self):
+        feeds = [[
+            self._entry("plone.api", "1.0", 500),
+            self._entry("requests", "1.0", 500),
+            self._entry("plone.old", "1.0", 100),  # dropped by since
+        ]]
+        out = tk.package_updates_since(feeds, since=300, filter_name="plone")
+        assert [u[0] for u in out["updates"]] == ["plone.api"]
+        # the non-matching dropped-by-since entry still counted
+        assert out["dropped_by_since"] == 1
+
+    def test_zero_dropped_is_the_overflow_signal(self):
+        # every entry newer than since -> the window likely overflowed
+        feeds = [[self._entry("a", "1.0", 900), self._entry("b", "1.0", 800)]]
+        out = tk.package_updates_since(feeds, since=100)
+        assert out["dropped_by_since"] == 0
